@@ -3,23 +3,20 @@
 Multi-chip TPU hardware is unavailable in CI, so all sharding/collective
 behavior is exercised on XLA's host platform with 8 virtual devices (the
 test strategy the reference lacks entirely; see SURVEY.md section 4).
-Must run before the first ``import jax`` anywhere in the test session.
+
+NOTE: the ambient environment (sitecustomize) imports JAX at interpreter
+startup with JAX_PLATFORMS=axon, so env vars are too late here — we must
+override through jax.config before any backend is initialized.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 
 
 @pytest.fixture(scope="session")
 def rng():
-    import jax
-
     return jax.random.PRNGKey(0)
