@@ -1,0 +1,131 @@
+"""ResNet tower tests: structure vs published torchvision parameter counts,
+forward shapes, frozen semantics, torch state_dict round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clip_lite_tpu.models import resnet as R
+from clip_lite_tpu.models.image_encoder import ImageEncoder
+
+# Published torchvision classification-model parameter counts (with the
+# 1000-way fc). Structural golden values — if the architecture is right,
+# these match exactly.
+PARAM_COUNTS = {
+    "resnet18": 11_689_512,
+    "resnet34": 21_797_672,
+    "resnet50": 25_557_032,
+    "resnet101": 44_549_160,
+    "resnet152": 60_192_808,
+}
+
+
+def count_params(tree):
+    return sum(np.prod(x.shape) for x in jax.tree.leaves(tree))
+
+
+@pytest.mark.parametrize("name", ["resnet18", "resnet50"])
+def test_param_count_exact(name):
+    model = R.RESNETS[name](num_classes=1000)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    assert count_params(variables["params"]) == PARAM_COUNTS[name]
+
+
+@pytest.mark.parametrize("name,feat", [("resnet18", 512), ("resnet34", 512),
+                                       ("resnet50", 2048)])
+def test_feature_extractor_shape(name, feat):
+    model = R.RESNETS[name]()
+    assert model.feature_size == feat
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 64, 64, 3)),
+                           train=False)
+    out = model.apply(variables, jnp.ones((2, 64, 64, 3)), train=False)
+    assert out.shape == (2, feat)
+    assert out.dtype == jnp.float32
+
+
+def test_spatial_downsampling():
+    """224 input must produce a 7x7 final map: pooled output of stem(56) ->
+    56/28/14/7 stages. Check via intermediate: output exists & differs for
+    different inputs (sanity), and 64-input works (2x2 final map)."""
+    model = R.resnet18()
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
+                   train=False)
+    out224 = model.apply(v, jnp.ones((1, 224, 224, 3)), train=False)
+    assert out224.shape == (1, 512)
+
+
+def test_batch_stats_update():
+    model = R.resnet18()
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    _, mutated = model.apply(v, x, train=True, mutable=["batch_stats"])
+    before = v["batch_stats"]["stem"]["bn"]["mean"]
+    after = mutated["batch_stats"]["stem"]["bn"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_image_encoder_frozen_stops_gradient():
+    enc = ImageEncoder(img_enc_net="resnet18", frozen=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    v = enc.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss_fn(params):
+        out = enc.apply({"params": params,
+                         "batch_stats": v["batch_stats"]}, x, train=True)
+        return (out ** 2).sum()
+
+    grads = jax.grad(loss_fn)(v["params"])
+    assert all(np.allclose(np.asarray(g), 0) for g in jax.tree.leaves(grads))
+
+
+def test_unknown_backbone_rejected():
+    enc = ImageEncoder(img_enc_net="resnet9000")
+    with pytest.raises(KeyError):
+        enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+
+
+def test_torch_state_dict_roundtrip():
+    """export -> import must reproduce identical outputs (exercises the
+    layout mapping used for torchvision weight import and D2 export)."""
+    model = R.resnet18()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    out1 = model.apply(v, x, train=False)
+
+    sd = R.export_torch_resnet_state_dict(v, [2, 2, 2, 2])
+    assert "layer4.1.bn2.running_var" in sd
+    assert sd["conv1.weight"].shape == (64, 3, 7, 7)
+
+    v2 = R.import_torch_resnet_state_dict(sd, [2, 2, 2, 2])
+    out2 = model.apply(v2, x, train=False)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_detectron2_export_keys():
+    from clip_lite_tpu.models.image_encoder import detectron2_backbone_state_dict
+
+    model = R.resnet18()
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                   train=False)
+    d2 = detectron2_backbone_state_dict(v, "resnet18")
+    assert d2["matching_heuristics"] is True
+    keys = d2["model"].keys()
+    assert any(k.startswith("stem.conv1") for k in keys)
+    assert any(k.startswith("res2") for k in keys)
+    assert any(".norm." in k or k.endswith(".norm.weight") for k in keys)
+    assert not any("layer" in k or "downsample" in k for k in keys)
+
+
+def test_vgg19_emits_1000d():
+    """Reference quirk: VGG keeps its classifier (encoder.py:41 sets .fc
+    which VGG ignores), so the tower emits 1000-d."""
+    from clip_lite_tpu.models.vgg import VGGS
+
+    m = VGGS["vgg19"]()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    out = m.apply(v, jnp.ones((1, 64, 64, 3)), train=False)
+    assert out.shape == (1, 1000)
