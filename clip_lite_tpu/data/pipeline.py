@@ -1,0 +1,152 @@
+"""Input pipeline: batching, shuffling, threaded prefetch, device placement.
+
+The reference stacks torch DataLoader + DistributedSampler + per-rank
+``batch.to(device)`` copies (reference: train.py:78-117,
+utils/common.py:14-38).  Single-controller JAX needs no sampler sharding —
+one host assembles the GLOBAL batch and ``jax.device_put`` places each
+device's shard directly (parallel/mesh.py).  Decode+augment runs in a
+thread pool (cv2/numpy release the GIL) and finished batches are staged in
+a small prefetch queue so host work overlaps device steps.
+
+Also provides ``StatefulLoader`` iteration-exact resume: the shuffle order
+is a pure function of (seed, epoch), so resuming at iteration N replays
+the exact batch sequence — the capability the reference's
+StatefulDistributedSampler defines but never wires up
+(reference: utils/base.py:22-77, SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    """Epoch-based loader over a Dataset with collate_fn."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 4,
+                 seed: int = 0, prefetch: int = 2,
+                 device_put_fn: Optional[Callable] = None,
+                 background: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.device_put_fn = device_put_fn
+        # background=False loads batches in the calling thread — required on
+        # CPU backends, where XLA's in-process collective participants can
+        # be starved past their rendezvous timeout by competing host
+        # threads (1-core CI hosts); keep True on TPU for overlap.
+        self.background = background
+        self.epoch = 0
+        self._iteration = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def set_iteration(self, iteration: int) -> None:
+        self._iteration = iteration
+        if hasattr(self.dataset, "set_iteration"):
+            self.dataset.set_iteration(iteration)
+
+    def _epoch_order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch]))
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def _batches(self, start_batch: int = 0) -> Iterator[np.ndarray]:
+        order = self._epoch_order()
+        n_full = len(order) // self.batch_size
+        end = n_full * self.batch_size if self.drop_last else len(order)
+        for b in range(start_batch, -(-end // self.batch_size)):
+            idxs = order[b * self.batch_size: (b + 1) * self.batch_size]
+            if len(idxs) == self.batch_size or not self.drop_last:
+                yield idxs
+
+    def _load_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor):
+        items = list(pool.map(self.dataset.__getitem__, idxs))
+        batch = self.dataset.collate_fn(items)
+        if self.device_put_fn is not None:
+            batch = self.device_put_fn(batch)
+        return batch
+
+    def __iter__(self):
+        if not self.background:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            try:
+                for idxs in self._batches():
+                    yield self._load_batch(idxs, pool)
+            finally:
+                pool.shutdown(wait=False)
+            return
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for idxs in self._batches():
+                    if stop.is_set():
+                        return
+                    q.put(self._load_batch(idxs, pool))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            # Drain so the producer can exit its blocking put.
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            pool.shutdown(wait=False)
+
+
+def infinite_batches(loader: DataLoader,
+                     start_iteration: int = 0) -> Iterator[Dict[str, Any]]:
+    """Infinite, iteration-exact batch stream.
+
+    Resuming from iteration N replays epoch N // len(loader) from batch
+    N % len(loader) — exact mid-epoch resume (upgrade over the reference's
+    restart-epoch cycle(), utils/common.py:14-38)."""
+    per_epoch = len(loader)
+    iteration = start_iteration
+    while True:
+        epoch = iteration // per_epoch
+        start_batch = iteration % per_epoch
+        loader.set_epoch(epoch)
+        pool = ThreadPoolExecutor(max_workers=loader.num_workers)
+        try:
+            for idxs in loader._batches(start_batch):
+                loader.set_iteration(iteration)
+                yield loader._load_batch(idxs, pool)
+                iteration += 1
+        finally:
+            pool.shutdown(wait=False)

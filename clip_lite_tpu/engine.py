@@ -1,0 +1,164 @@
+"""Training engine: TrainState + compiled SPMD train/eval steps.
+
+The reference's hot loop (reference: train.py:195-296) is
+forward -> backward -> DDP allreduce -> clip -> SGD/Lookahead -> scheduler,
+spread across Python, autograd hooks, and NCCL.  Here the entire update is
+ONE compiled XLA program per step, shard_map'ed over the data mesh axis:
+
+  * batch sharded on ``data``; params/opt-state replicated;
+  * grads psum'd over ICI (the DDP-allreduce equivalent, but fused into
+    the compiled program and overlapped by XLA's scheduler);
+  * loss metrics pmean'd (replaces utils/distributed.py:141-159);
+  * BatchNorm running stats pmean'd so the replicated state stays exact
+    (the reference keeps divergent per-rank stats and checkpoints rank 0's);
+  * per-device RNG folding for dropout/prior noise streams;
+  * state buffers donated — no reallocation between steps;
+  * bf16 compute under AMP with fp32 params and loss (no GradScaler:
+    bf16 has fp32's exponent range, so the reference's scale/unscale
+    machinery, train.py:218-225, has no TPU equivalent by design).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from clip_lite_tpu.parallel.collectives import axis_is_bound
+
+
+class TrainState(struct.PyTreeNode):
+    """Replicated training state pytree (the checkpointable unit)."""
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, tx, sample_batch, seed: int = 0) -> TrainState:
+    """Initialize model variables + optimizer state from a sample batch."""
+    rngs = {
+        "params": jax.random.PRNGKey(seed),
+        "prior": jax.random.PRNGKey(seed + 1),
+        "dropout": jax.random.PRNGKey(seed + 2),
+    }
+    variables = model.init(rngs, sample_batch, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def _fold_device_rng(rng: jax.Array, axis_name: str) -> jax.Array:
+    """Give each device its own RNG stream inside shard_map."""
+    if axis_is_bound(axis_name):
+        rng = jax.random.fold_in(rng, lax.axis_index(axis_name))
+    return rng
+
+
+def make_train_step(model, tx, data_axis: str = "data") -> Callable:
+    """Build the per-shard train step (to be wrapped in shard_map + jit)."""
+
+    def train_step(state: TrainState, batch, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        step_rng = _fold_device_rng(step_rng, data_axis)
+        prior_rng, dropout_rng = jax.random.split(step_rng)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, mutable=["batch_stats"],
+                rngs={"prior": prior_rng, "dropout": dropout_rng})
+            return out["loss"], (out["loss_components"],
+                                 mutated.get("batch_stats", {}))
+
+        (loss, (components, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        if axis_is_bound(data_axis):
+            grads = lax.pmean(grads, data_axis)
+            components = lax.pmean(components, data_axis)
+            new_stats = lax.pmean(new_stats, data_axis)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = dict(components)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, data_axis: str = "data") -> Callable:
+    """Validation step: loss components under eval-mode norms
+    (the reference's val sweep, train.py:257-277)."""
+
+    def eval_step(state: TrainState, batch, rng):
+        step_rng = _fold_device_rng(jax.random.fold_in(rng, state.step),
+                                    data_axis)
+        prior_rng, dropout_rng = jax.random.split(step_rng)
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False,
+            rngs={"prior": prior_rng, "dropout": dropout_rng})
+        components = out["loss_components"]
+        if axis_is_bound(data_axis):
+            components = lax.pmean(components, data_axis)
+        return components
+
+    return eval_step
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in jax.tree.leaves(tree)))
+
+
+def compile_train_step(model, tx, mesh: Mesh, data_axis: str = "data",
+                       donate: bool = True) -> Callable:
+    """jit(shard_map(train_step)) over the mesh: the deployable program.
+
+    Donation is forced off on CPU backends: donated-buffer reuse
+    serializes replica execution under XLA's in-process collectives, so
+    one participant can never reach a collective another replica is
+    blocked in — a guaranteed rendezvous deadlock (observed as
+    "Termination timeout for collective permute ... 7 of 8 arrived").
+    On TPU each replica is a real chip; donation is safe and saves HBM.
+    """
+    if mesh.devices.flat[0].platform == "cpu":
+        donate = False
+    step = make_train_step(model, tx, data_axis)
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(data_axis), P()),
+        out_specs=(P(), P()),
+    )
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(sharded, donate_argnums=donate_argnums)
+
+
+def compile_eval_step(model, mesh: Mesh, data_axis: str = "data") -> Callable:
+    step = make_eval_step(model, data_axis)
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(data_axis), P()),
+        out_specs=P(),
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,223 @@
+"""Pretraining driver: JSD InfoMax training of the two-tower model.
+
+Equivalent of the reference's train.py (reference: train.py:62-313), as a
+single-controller SPMD program:
+
+  * no process spawn / NCCL rendezvous — one Python process drives the
+    whole mesh (reference L1, utils/distributed.py, dissolves);
+  * the hot loop body is ONE compiled XLA program (forward+backward+
+    allreduce+clip+SGD+Lookahead+schedule);
+  * val sweeps every --checkpoint-every, with cross-device metric pmean
+    inside the compiled eval step;
+  * "climax" dense model-only checkpointing in the last 20% of training
+    (reference: train.py:290-296);
+  * mid-training switch to the cluster hard-negative dataloader
+    (reference: train.py:151-163,196-208) — the new batch dict triggers
+    one recompile, then steady state again.
+
+Run (synthetic smoke):
+    python -m clip_lite_tpu.train \
+        --config-override MODEL.NAME random OPTIM.NUM_ITERATIONS 100
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+from clip_lite_tpu.config import Config
+from clip_lite_tpu.engine import (
+    compile_eval_step,
+    compile_train_step,
+    create_train_state,
+)
+from clip_lite_tpu.factories import (
+    NegativeSamplingDatasetFactory,
+    OptimizerFactory,
+    PretrainingDatasetFactory,
+    PretrainingModelFactory,
+)
+from clip_lite_tpu.data.pipeline import DataLoader, infinite_batches
+from clip_lite_tpu.parallel import create_mesh, shard_batch
+from clip_lite_tpu.utils.checkpointing import CheckpointManager
+from clip_lite_tpu.utils.common import (
+    apply_platform_args,
+    common_parser,
+    common_setup,
+)
+from clip_lite_tpu.utils.timers import Timer, device_mem_usage_mb
+
+parser = common_parser(description="Pretrain the VLInfo two-tower model.")
+group = parser.add_argument_group("Checkpointing and Logging")
+group.add_argument("--resume-from", default=None,
+                   help="Checkpoint path to resume from.")
+group.add_argument("--checkpoint-every", type=int, default=10000)
+group.add_argument("--log-every", type=int, default=500)
+group.add_argument("--climax-freq", type=int, default=1000,
+                   help="Checkpoint frequency in the last 20%% of training.")
+group.add_argument("--keep-recent", type=int, default=100)
+
+
+def init_dataloaders(_C, _A, mesh, kind: str = "normal"):
+    """Build train/val loaders (reference: train.py:62-117).  Cluster mode
+    halves the batch: each item carries a positive AND a hard negative."""
+    if kind == "normal":
+        train_ds = PretrainingDatasetFactory.from_config(_C, split="train")
+        val_ds = PretrainingDatasetFactory.from_config(_C, split="val")
+        batch_size = _C.OPTIM.BATCH_SIZE
+    else:
+        train_ds = NegativeSamplingDatasetFactory.from_config(_C, split="train")
+        val_ds = NegativeSamplingDatasetFactory.from_config(_C, split="val")
+        batch_size = _C.OPTIM.BATCH_SIZE // 2
+
+    put = lambda b: shard_batch(b, mesh, _C.PARALLEL.DATA_AXIS)
+    # On CPU backends host threads starve XLA's in-process collective
+    # rendezvous; load synchronously there (see data/pipeline.py).
+    background = mesh.devices.flat[0].platform != "cpu"
+    train_loader = DataLoader(
+        train_ds, batch_size, shuffle=True, drop_last=True,
+        num_workers=_A.cpu_workers, seed=_C.RANDOM_SEED,
+        prefetch=_C.DATA.PREFETCH, device_put_fn=put, background=background)
+    val_loader = DataLoader(
+        val_ds, batch_size, shuffle=False, drop_last=True,
+        num_workers=_A.cpu_workers, seed=_C.RANDOM_SEED,
+        prefetch=_C.DATA.PREFETCH, device_put_fn=put, background=background)
+    return train_loader, val_loader
+
+
+def main(_A) -> None:
+    apply_platform_args(_A)
+    _C = Config(_A.config, list(_A.config_override))
+    logger = common_setup(_C, _A, job_type="pretrain")
+
+    mesh = create_mesh(_C.PARALLEL.NUM_DEVICES, _C.PARALLEL.DATA_AXIS)
+    n_dev = mesh.devices.size
+    logger.info("Mesh: %d x %s devices; global batch %d (%d/device)",
+                n_dev, mesh.devices.flat[0].platform,
+                _C.OPTIM.BATCH_SIZE, _C.OPTIM.BATCH_SIZE // n_dev)
+    if _C.OPTIM.BATCH_SIZE % n_dev:
+        raise ValueError("OPTIM.BATCH_SIZE must divide the device count")
+
+    model = PretrainingModelFactory.from_config(_C)
+    tx = OptimizerFactory.from_config(_C)
+
+    use_clusters = "clusters" in _C.DATA.NEGATIVE_SAMPLING
+    switch_iter = _C.DATA.NEGATIVE_SAMPLING_START_ITERATION
+
+    # Data: start in the phase matching the resume iteration.
+    start_iteration = 0
+    if _A.resume_from:
+        # Peek iteration before building state (cheap: metadata only after
+        # full load below; here just decide the phase).
+        pass
+
+    kind = "normal"
+    train_loader, val_loader = init_dataloaders(_C, _A, mesh, kind)
+    batches = infinite_batches(train_loader, start_iteration)
+    first_batch = next(batches)
+
+    state = create_train_state(model, tx, first_batch, seed=_C.RANDOM_SEED)
+    n_params = sum(int(np.prod(x.shape)) for x in
+                   jax.tree.leaves(state.params))
+    logger.info("Model: %s + %s | %.2fM params",
+                _C.MODEL.VISUAL.NETWORK_NAME, _C.MODEL.TEXTUAL.NAME,
+                n_params / 1e6)
+
+    ckpt_dir = (_A.checkpoints_dir or _A.serialization_dir) + _C.RUN_ID
+    manager = CheckpointManager(ckpt_dir, keep_recent=_A.keep_recent,
+                                state=state)
+    if _A.resume_from:
+        start_iteration = manager.load(_A.resume_from)
+        state = manager.restored("state")
+        logger.info("Resumed from %s at iteration %d",
+                    _A.resume_from, start_iteration)
+        if use_clusters and start_iteration >= switch_iter:
+            kind = "clusters"
+            train_loader, val_loader = init_dataloaders(_C, _A, mesh, kind)
+        batches = infinite_batches(train_loader, start_iteration)
+        first_batch = next(batches)
+
+    train_step = compile_train_step(model, tx, mesh, _C.PARALLEL.DATA_AXIS,
+                                    donate=_C.PARALLEL.DONATE)
+    eval_step = compile_eval_step(model, mesh, _C.PARALLEL.DATA_AXIS)
+    rng = jax.random.PRNGKey(_C.RANDOM_SEED)
+
+    sync_steps = mesh.devices.flat[0].platform == "cpu"
+    timer = Timer(start_from=start_iteration + 1,
+                  total_iterations=_C.OPTIM.NUM_ITERATIONS)
+    metrics_path = os.path.join(_A.serialization_dir, "metrics.jsonl")
+    metrics_file = open(metrics_path, "a")
+    batch = first_batch
+
+    for iteration in range(start_iteration + 1, _C.OPTIM.NUM_ITERATIONS + 1):
+        # Mid-training hard-negative curriculum switch.
+        if use_clusters and iteration == switch_iter and kind == "normal":
+            logger.info("Switching to clustered hard-negative sampling "
+                        "(iteration %d)", iteration)
+            kind = "clusters"
+            train_loader, val_loader = init_dataloaders(_C, _A, mesh, kind)
+            batches = infinite_batches(train_loader, iteration)
+            batch = next(batches)
+
+        timer.tic()
+        state, metrics = train_step(state, batch, rng)
+        if sync_steps:
+            jax.block_until_ready(state)
+        batch = next(batches)  # overlap host fetch with device step (TPU)
+        if iteration % _A.log_every == 0:
+            metrics = jax.tree.map(float, jax.device_get(metrics))
+        timer.toc()
+
+        if iteration % _A.log_every == 0:
+            logger.info("%s | loss %.3f (xm %.3f) | gnorm %.2f | mem %d MB",
+                        timer.stats, metrics["total_loss"],
+                        metrics["cross_modal_loss"], metrics["grad_norm"],
+                        device_mem_usage_mb())
+            metrics_file.write(json.dumps(
+                {"iteration": iteration, "split": "train", **metrics}) + "\n")
+            metrics_file.flush()
+
+        if iteration % _A.checkpoint_every == 0:
+            # Val sweep (reference: train.py:257-288).
+            val_sums: Dict[str, float] = {}
+            n_batches = 0
+            for val_batch in val_loader:
+                comps = jax.device_get(eval_step(state, val_batch, rng))
+                for k, v in comps.items():
+                    val_sums[k] = val_sums.get(k, 0.0) + float(v)
+                n_batches += 1
+            if n_batches:
+                val_means = {k: v / n_batches for k, v in val_sums.items()}
+                logger.info("VAL @ %d: %s", iteration,
+                            {k: round(v, 4) for k, v in val_means.items()})
+                metrics_file.write(json.dumps(
+                    {"iteration": iteration, "split": "val",
+                     **val_means}) + "\n")
+                metrics_file.flush()
+                metric = val_means.get("total_loss")
+            else:
+                metric = None
+            manager.checkpointables["state"] = state
+            manager.step(iteration, metric=metric)
+
+        # Dense "climax" checkpointing in the last 20% (train.py:290-296).
+        if (iteration / _C.OPTIM.NUM_ITERATIONS) > 0.8 and \
+                iteration % _A.climax_freq == 0:
+            manager.checkpointables["state"] = state
+            manager.climax_step(iteration)
+
+    # Final checkpoint so short runs always leave an artifact.
+    manager.checkpointables["state"] = state
+    manager.step(_C.OPTIM.NUM_ITERATIONS)
+    metrics_file.close()
+    logger.info("Done: %d iterations.", _C.OPTIM.NUM_ITERATIONS)
+
+
+if __name__ == "__main__":
+    main(parser.parse_args())

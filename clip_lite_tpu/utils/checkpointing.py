@@ -1,0 +1,139 @@
+"""Checkpoint management for TrainState pytrees.
+
+Equivalent of the reference's CheckpointManager
+(reference: utils/checkpointing.py:12-222): iteration-keyed serialization
+of every registered checkpointable, best-metric tracking, rotation of
+recent checkpoints, model-only "climax" snapshots for the dense
+end-of-training sweep (reference: utils/checkpointing.py:106-131,
+consumed by voc_clf.py:176-270), and a tolerant ``load`` that returns the
+stored iteration.
+
+Serialization is flax msgpack of the state pytree — single-controller, so
+no rank gating is needed (the reference writes from the master process
+only, train.py:251-255).  Device arrays are pulled to host once per save.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    """Write via temp file + rename so a crash/kill mid-write can never
+    leave a truncated checkpoint behind."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class CheckpointManager:
+    """Saves/loads msgpack checkpoints named ``checkpoint_{it}.msgpack``."""
+
+    def __init__(self, serialization_dir: str = "/tmp",
+                 keep_recent: int = 100, **checkpointables: Any):
+        self.serialization_dir = serialization_dir
+        self.keep_recent = keep_recent
+        self.checkpointables = dict(checkpointables)
+        self._best_metric: Optional[float] = None
+        self._recent: list = []
+        os.makedirs(serialization_dir, exist_ok=True)
+
+    # -- saving ------------------------------------------------------------
+    def step(self, iteration: int, metric: Optional[float] = None,
+             mode: str = "min") -> str:
+        """Serialize all checkpointables + iteration; track best metric."""
+        payload = {name: serialization.to_state_dict(_to_host(obj))
+                   for name, obj in self.checkpointables.items()}
+        payload["iteration"] = np.int64(iteration)
+        path = os.path.join(self.serialization_dir,
+                            f"checkpoint_{iteration}.msgpack")
+        _atomic_write(path, serialization.msgpack_serialize(payload))
+
+        if metric is not None:
+            better = (self._best_metric is None
+                      or (mode == "min" and metric < self._best_metric)
+                      or (mode == "max" and metric > self._best_metric))
+            if better:
+                self._best_metric = float(metric)
+                best = os.path.join(self.serialization_dir,
+                                    "checkpoint_best.msgpack")
+                _atomic_write(best, serialization.msgpack_serialize(payload))
+
+        self._recent.append(path)
+        while len(self._recent) > self.keep_recent:
+            old = self._recent.pop(0)
+            if os.path.exists(old):
+                os.remove(old)
+        return path
+
+    def climax_step(self, iteration: int,
+                    model_key: str = "state") -> str:
+        """Model-only dense snapshot (params + batch_stats, no optimizer) —
+        the reference's end-of-training sweep artifact
+        (utils/checkpointing.py:106-131)."""
+        state = self.checkpointables[model_key]
+        payload = {
+            "params": serialization.to_state_dict(_to_host(state.params)),
+            "batch_stats": serialization.to_state_dict(
+                _to_host(state.batch_stats)),
+            "iteration": np.int64(iteration),
+        }
+        path = os.path.join(self.serialization_dir,
+                            f"climax_model_{iteration}.msgpack")
+        _atomic_write(path, serialization.msgpack_serialize(payload))
+        return path
+
+    # -- loading -----------------------------------------------------------
+    def load(self, path: str) -> int:
+        """Restore checkpointables in place (pytrees are rebuilt with the
+        stored leaves via flax ``from_state_dict``); returns iteration."""
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        iteration = int(payload.pop("iteration", 0))
+        for name, stored in payload.items():
+            if name in self.checkpointables:
+                target = self.checkpointables[name]
+                self.checkpointables[name] = serialization.from_state_dict(
+                    target, stored)
+        return iteration
+
+    def restored(self, name: str):
+        return self.checkpointables[name]
+
+
+def load_model_variables(path: str) -> Dict[str, Any]:
+    """Load {params, batch_stats} from either a full checkpoint or a
+    climax snapshot — what downstream evals consume."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    if "params" in payload:  # climax snapshot
+        return {"params": payload["params"],
+                "batch_stats": payload.get("batch_stats", {})}
+    state = payload.get("state", {})
+    return {"params": state["params"],
+            "batch_stats": state.get("batch_stats", {})}
+
+
+def latest_checkpoint(serialization_dir: str) -> Optional[str]:
+    """Most recent full checkpoint in a directory, by iteration."""
+    paths = glob.glob(os.path.join(serialization_dir, "checkpoint_*.msgpack"))
+    best_it, best_path = -1, None
+    for p in paths:
+        m = re.search(r"checkpoint_(\d+)\.msgpack$", p)
+        if m and int(m.group(1)) > best_it:
+            best_it, best_path = int(m.group(1)), p
+    return best_path

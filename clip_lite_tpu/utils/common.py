@@ -1,0 +1,97 @@
+"""Common setup and CLI plumbing shared by all drivers.
+
+Equivalent of the reference's utils/common.py: seeding + serialization-dir
+setup (common_setup, :41-103) and the shared argparse surface
+(common_parser, :106-159), minus the per-GPU process launch machinery —
+JAX is single-controller, so there is nothing to spawn.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import random
+import sys
+
+import numpy as np
+
+
+def common_parser(description: str = "") -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--config", default=None,
+                        help="Path to a config YAML (merged over defaults).")
+    parser.add_argument(
+        "--config-override", nargs="*", default=[],
+        help="Dotted key-value pairs to override, e.g. OPTIM.BATCH_SIZE 512")
+    parser.add_argument("--serialization-dir", default="/tmp/clip_lite_tpu",
+                        help="Directory for checkpoints, logs, config dump.")
+    parser.add_argument("--checkpoints-dir", default=None,
+                        help="Alias of --serialization-dir (reference CLI).")
+    parser.add_argument("--num-devices", type=int, default=0,
+                        help="Devices on the data axis; 0 = all local.")
+    parser.add_argument("--cpu-workers", type=int, default=4,
+                        help="Host-side data workers.")
+    parser.add_argument("--platform", default=None,
+                        choices=["cpu", "tpu", "axon"],
+                        help="Force a JAX platform (e.g. cpu for smoke runs).")
+    parser.add_argument("--virtual-devices", type=int, default=0,
+                        help="With --platform cpu: number of virtual CPU "
+                             "devices (to exercise the mesh without TPUs).")
+    return parser
+
+
+def apply_platform_args(args) -> None:
+    """Apply --platform/--virtual-devices before any JAX computation.
+
+    Must run before the first backend initialization; works even though
+    the ambient sitecustomize imports jax with JAX_PLATFORMS=axon."""
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.virtual_devices and args.platform == "cpu":
+        jax.config.update("jax_num_cpu_devices", args.virtual_devices)
+
+
+def common_setup(config, args, job_type: str = "pretrain") -> logging.Logger:
+    """Seed everything, create the serialization dir, dump the config,
+    configure logging to stdout + a per-host file."""
+    random.seed(config.RANDOM_SEED)
+    np.random.seed(config.RANDOM_SEED)
+
+    ser_dir = args.checkpoints_dir or args.serialization_dir
+    args.serialization_dir = ser_dir
+    os.makedirs(ser_dir, exist_ok=True)
+    config.dump(os.path.join(ser_dir, f"{job_type}_config.yaml"))
+
+    logger = logging.getLogger("clip_lite_tpu")
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter(
+        "%(asctime)s | %(levelname)s | %(message)s", "%Y-%m-%d %H:%M:%S")
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    fh = logging.FileHandler(os.path.join(ser_dir, f"log_{job_type}.txt"))
+    fh.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.propagate = False
+    return logger
+
+
+def cycle(loader, start_iteration: int = 0):
+    """Infinite batch generator over an (epoch-aware) loader
+    (reference: utils/common.py:14-38).  Loaders expose ``set_epoch`` for
+    reshuffling and, for curriculum datasets, ``set_iteration``."""
+    epoch = 0
+    iteration = start_iteration
+    while True:
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(epoch)
+        for batch in loader:
+            if hasattr(loader, "set_iteration"):
+                loader.set_iteration(iteration)
+            iteration += 1
+            yield batch
+        epoch += 1
