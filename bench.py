@@ -1,0 +1,137 @@
+"""Headline benchmark: flagship pretrain throughput, images/sec/chip.
+
+Measures the steady-state compiled training step of the flagship
+configuration (ResNet-50 + BERT-12 + JSD dot critic, reference
+configs/done/fs_bs1024_ni250k.yaml) on the available TPU chip(s) with
+on-device synthetic data (the compute path, excluding host input — the
+input pipeline is benchmarked separately and overlapped in training).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured / (0.9 x bf16 roofline) per BASELINE.md's north
+star: >= 1.0 means the >=90%-of-roofline target is met.  The roofline is
+an analytic FLOPs estimate (fwd+bwd ~= 3x fwd) over the chip's peak bf16
+throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+# Analytic per-image training FLOPs for the flagship model @ 224x224, 30
+# tokens: ResNet-50 fwd ~8.2 GFLOP (4.09 GMACs), BERT-base fwd
+# 2*110e6*30 tokens ~6.6 GFLOP, critics/projections ~0.1 GFLOP; x3 for
+# fwd+bwd.
+FLAGSHIP_TRAIN_GFLOPS_PER_IMAGE = 3 * (8.2 + 6.6 + 0.1)
+
+PEAK_BF16_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5e": 197.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,
+}
+
+
+def peak_tflops(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for name, peak in PEAK_BF16_TFLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return 197.0  # assume v5e
+
+
+def _measure(per_chip_batch: int) -> dict:
+    import jax
+
+    from clip_lite_tpu.config import Config
+    from clip_lite_tpu.engine import compile_train_step, create_train_state
+    from clip_lite_tpu.factories import (
+        OptimizerFactory,
+        PretrainingModelFactory,
+    )
+    from clip_lite_tpu.parallel import create_mesh, shard_batch
+
+    devices = jax.devices()
+    n_chips = len(devices)
+    batch_size = per_chip_batch * n_chips
+
+    cfg = Config(override_list=[
+        "MODEL.VISUAL.NETWORK_NAME", "resnet50",
+        "MODEL.VISUAL.FEATURE_SIZE", 2048,
+        "MODEL.TEXTUAL.NUM_HIDDEN_LAYERS", 12,
+        "OPTIM.BATCH_SIZE", batch_size,
+        "OPTIM.WARMUP_STEPS", 10, "OPTIM.NUM_ITERATIONS", 1000,
+        "MODEL.LOSS.NEGATIVES", "global",
+    ])
+    model = PretrainingModelFactory.from_config(cfg)
+    tx = OptimizerFactory.from_config(cfg)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": np.asarray(rng.randn(batch_size, 224, 224, 3), np.float32),
+        "input_ids": np.asarray(
+            rng.randint(0, 30522, (batch_size, 30)), np.int32),
+        "attention_mask": np.ones((batch_size, 30), np.int32),
+    }
+    state = create_train_state(model, tx, batch)
+    mesh = create_mesh(data_axis=cfg.PARALLEL.DATA_AXIS)
+    step = compile_train_step(model, tx, mesh, cfg.PARALLEL.DATA_AXIS,
+                              donate=True)
+    device_batch = shard_batch(batch, mesh, cfg.PARALLEL.DATA_AXIS)
+    key = jax.random.PRNGKey(0)
+
+    # Warmup (compile + 2 steady steps). NOTE: on the axon tunnel backend
+    # block_until_ready does not synchronize; fetching a scalar that
+    # data-depends on the full step chain does.
+    for _ in range(3):
+        state, metrics = step(state, device_batch, key)
+    _ = float(metrics["total_loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, device_batch, key)
+    _ = float(metrics["total_loss"])  # sync: depends on the whole chain
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch_size * n_steps / dt
+    per_chip = images_per_sec / n_chips
+
+    roofline = peak_tflops(devices[0]) * 1e3 / FLAGSHIP_TRAIN_GFLOPS_PER_IMAGE
+    target = 0.9 * roofline
+    return {
+        "metric": "flagship_pretrain_throughput",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / target, 4),
+        "per_chip_batch": per_chip_batch,
+    }
+
+
+def main() -> None:
+    import sys
+
+    last_err = None
+    for per_chip_batch in (128, 64, 32, 16):
+        try:
+            result = _measure(per_chip_batch)
+            print(json.dumps(result))
+            return
+        except Exception as e:  # device OOM / backend flake: try smaller
+            last_err = e
+            print(f"bench: batch {per_chip_batch} failed "
+                  f"({type(e).__name__}); retrying smaller", file=sys.stderr)
+    print(json.dumps({
+        "metric": "flagship_pretrain_throughput", "value": 0.0,
+        "unit": "images/sec/chip", "vs_baseline": 0.0,
+        "error": f"{type(last_err).__name__}: {last_err}"[:200],
+    }))
+
+
+if __name__ == "__main__":
+    main()

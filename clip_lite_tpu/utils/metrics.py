@@ -1,0 +1,149 @@
+"""Evaluation metrics: Top-k accuracy accumulator and CIDEr-D.
+
+Equivalents of the reference's utils/metrics.py: TopkAccuracy (:20-73) and
+the pure-python CIDEr scorer (:181-268).  SPICE (Java subprocess,
+reference :271-310) is intentionally not reproduced — it shells out to a
+Stanford CoreNLP jar that is not part of this environment; CIDEr is the
+primary caption metric.  Tokenization is a lightweight PTB-ish normalizer
+instead of the reference's CoreNLP Java subprocess (:129-178).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+
+class TopkAccuracy:
+    """Streaming top-k accuracy over (logits, labels) batches."""
+
+    def __init__(self, top_k: int = 1):
+        self.top_k = top_k
+        self.reset()
+
+    def reset(self):
+        self.num_correct = 0
+        self.num_total = 0
+
+    def __call__(self, predictions: np.ndarray, labels: np.ndarray) -> None:
+        predictions = np.asarray(predictions)
+        labels = np.asarray(labels)
+        if self.top_k == 1:
+            top = predictions.argmax(-1)[..., None]
+        else:
+            top = np.argpartition(-predictions, self.top_k - 1,
+                                  axis=-1)[..., : self.top_k]
+        correct = (top == labels[..., None]).any(-1)
+        self.num_correct += int(correct.sum())
+        self.num_total += int(correct.size)
+
+    def get_metric(self, reset: bool = False) -> float:
+        value = 100.0 * self.num_correct / max(1, self.num_total)
+        if reset:
+            self.reset()
+        return value
+
+
+_PUNCT = re.compile(r"[^\w\s]")
+
+
+def ptb_tokenize(caption: str) -> List[str]:
+    """Lowercase, strip punctuation, split — the lightweight stand-in for
+    the reference's CoreNLP PTBTokenizer subprocess."""
+    return _PUNCT.sub("", caption.lower()).split()
+
+
+def _ngrams(tokens: Sequence[str], n: int) -> Counter:
+    return Counter(tuple(tokens[i: i + n]) for i in range(len(tokens) - n + 1))
+
+
+class CiderScorer:
+    """CIDEr-D: tf-idf weighted n-gram cosine similarity with length
+    penalty (Vedantam et al. 2015), n = 1..4, sigma = 6."""
+
+    def __init__(self, n: int = 4, sigma: float = 6.0):
+        self.n = n
+        self.sigma = sigma
+
+    def compute_score(self, ground_truth: Dict[str, List[str]],
+                      predictions: Dict[str, List[str]]) -> float:
+        """ground_truth/predictions: id -> list of captions (predictions
+        have one). Returns mean CIDEr-D x 100 (reference scales by 100 in
+        reporting)."""
+        ids = list(predictions.keys())
+        # Document frequencies over reference sets.
+        doc_freq = [defaultdict(int) for _ in range(self.n)]
+        gt_ngrams = {}
+        for img_id in ids:
+            per_ref = [
+                [_ngrams(ptb_tokenize(ref), k + 1) for k in range(self.n)]
+                for ref in ground_truth[img_id]
+            ]
+            gt_ngrams[img_id] = per_ref
+            for k in range(self.n):
+                seen = set()
+                for ref in per_ref:
+                    seen |= set(ref[k].keys())
+                for g in seen:
+                    doc_freq[k][g] += 1
+        log_num_images = math.log(max(1, len(ids)))
+
+        def tfidf_vec(counts_per_n, length):
+            vecs, norms = [], []
+            for k in range(self.n):
+                vec = {}
+                norm = 0.0
+                for g, cnt in counts_per_n[k].items():
+                    df = math.log(max(1.0, doc_freq[k][g]))
+                    w = cnt * (log_num_images - df)
+                    vec[g] = w
+                    norm += w * w
+                vecs.append(vec)
+                norms.append(math.sqrt(norm))
+            return vecs, norms
+
+        scores = []
+        for img_id in ids:
+            cand_tokens = ptb_tokenize(predictions[img_id][0])
+            cand_counts = [_ngrams(cand_tokens, k + 1) for k in range(self.n)]
+            cand_vec, cand_norm = tfidf_vec(cand_counts, len(cand_tokens))
+
+            img_score = np.zeros(self.n)
+            for ref_counts in gt_ngrams[img_id]:
+                ref_vec, ref_norm = tfidf_vec(ref_counts, None)
+                ref_len = sum(ref_counts[0].values())
+                delta = len(cand_tokens) - ref_len
+                for k in range(self.n):
+                    # CIDEr-D: clipped candidate counts in the dot product.
+                    num = 0.0
+                    for g, w in cand_vec[k].items():
+                        if g in ref_vec[k]:
+                            num += min(w, ref_vec[k][g]) * ref_vec[k][g]
+                    if cand_norm[k] and ref_norm[k]:
+                        sim = num / (cand_norm[k] * ref_norm[k])
+                    else:
+                        sim = 0.0
+                    sim *= math.exp(-(delta ** 2) / (2 * self.sigma ** 2))
+                    img_score[k] += sim
+            img_score /= max(1, len(gt_ngrams[img_id]))
+            scores.append(10.0 * img_score.mean())  # CIDEr-D convention
+        return 100.0 * float(np.mean(scores)) / 10.0
+
+
+class CocoCaptionsEvaluator:
+    """Caption evaluation harness (reference: utils/metrics.py:76-126),
+    CIDEr only (see module docstring re: SPICE)."""
+
+    def __init__(self, ground_truth: Dict[str, List[str]]):
+        self.ground_truth = {str(k): list(v) for k, v in ground_truth.items()}
+
+    def evaluate(self, preds: List[dict]) -> Dict[str, float]:
+        """preds: [{"image_id": ..., "caption": str}, ...]"""
+        predictions = {str(p["image_id"]): [p["caption"]] for p in preds}
+        gt = {k: self.ground_truth[k] for k in predictions}
+        cider = CiderScorer().compute_score(gt, predictions)
+        return {"CIDEr": cider}
