@@ -1,0 +1,57 @@
+"""On-device image preprocessing: uint8 batches in, normalized tensors out.
+
+The reference burns CPU workers on albumentations normalize/flip and ships
+fp32 NCHW tensors over PCIe (reference: factories.py:144-147,
+transforms.py:156-181).  The TPU-native pipeline ships **uint8** batches
+(4x less host->device bandwidth) and finishes preprocessing on device
+inside the compiled step:
+
+  * per-image random horizontal flip (XLA reverse, fused);
+  * uint8 -> float conversion + per-channel ImageNet affine normalization,
+    either as XLA ops (fused into the stem conv's input) or as the fused
+    Pallas kernel in ops/pallas_kernels.py (one HBM round-trip).
+
+Use ``DATA.IMAGE_TRANSFORM_*`` without "normalize" and with
+``device_preprocess=True`` to activate this path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from clip_lite_tpu.data.transforms import (
+    IMAGENET_COLOR_MEAN,
+    IMAGENET_COLOR_STD,
+)
+
+
+def normalize_images(images: jax.Array, dtype=jnp.float32,
+                     use_pallas: bool = False) -> jax.Array:
+    """(B, H, W, 3) uint8 (or float in [0,255]) -> normalized ``dtype``."""
+    if use_pallas:
+        from clip_lite_tpu.ops.pallas_kernels import normalize_u8
+
+        return normalize_u8(images, dtype=dtype)
+    mean = jnp.asarray(IMAGENET_COLOR_MEAN, jnp.float32) * 255.0
+    inv_std = 1.0 / (jnp.asarray(IMAGENET_COLOR_STD, jnp.float32) * 255.0)
+    out = (images.astype(jnp.float32) - mean) * inv_std
+    return out.astype(dtype)
+
+
+def random_flip(images: jax.Array, rng: jax.Array) -> jax.Array:
+    """Per-image random horizontal flip (p=0.5) on device."""
+    flips = jax.random.bernoulli(rng, 0.5, (images.shape[0],))
+    flipped = jnp.flip(images, axis=2)
+    return jnp.where(flips[:, None, None, None], flipped, images)
+
+
+def device_preprocess(images_u8: jax.Array, rng: Optional[jax.Array] = None,
+                      flip: bool = True, dtype=jnp.float32,
+                      use_pallas: bool = False) -> jax.Array:
+    """Full on-device tail of the augmentation pipeline."""
+    if flip and rng is not None:
+        images_u8 = random_flip(images_u8, rng)
+    return normalize_images(images_u8, dtype=dtype, use_pallas=use_pallas)
