@@ -234,6 +234,9 @@ class Config:
         _C.DATA.NUM_WORKERS = 4
         # Number of batches to prefetch to device.
         _C.DATA.PREFETCH = 2
+        # TPU-first input path: C++ fused JPEG decode+crop (native/),
+        # uint8 host->device transfer, flip/jitter/normalize on device.
+        _C.DATA.NATIVE_PIPELINE = False
 
         # -----------------------------------------------------------------
         #   Model architecture: visual backbone and textual head.

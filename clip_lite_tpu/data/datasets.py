@@ -231,13 +231,75 @@ class JsonDataset(CaptionDatasetBase):
 
 class CocoCaptionsDataset(CaptionDatasetBase):
     """Main pretraining dataset over a CLRec-serialized COCO split
-    (reference: data/dataloader.py:239-491 over LMDB)."""
+    (reference: data/dataloader.py:239-491 over LMDB).
+
+    With ``native_pipeline=True`` (config DATA.NATIVE_PIPELINE) batches
+    take the TPU-first fast path: the C++ core fuses JPEG decode + random
+    resized crop + flip into a uint8 batch (data/native.py), which ships
+    over PCIe at 1/4 the bytes, and the compiled step finishes
+    augmentation on device (engine._maybe_device_preprocess).  Host-side
+    color jitter / caption-aware flip word swap are not part of this path
+    (flip + jitter happen on device; hue jitter is dropped).
+    """
 
     def __init__(self, data_root: str, split: str = "train",
-                 percentage: float = 100.0, **kw):
+                 percentage: float = 100.0, native_pipeline: bool = False,
+                 crop_size: int = 224, **kw):
         super().__init__(**kw)
         path = os.path.join(data_root, f"coco_{split}_{kw.get('mode', self.mode)}2017.clrec")
         self.reader = CocoCaptionsRecordReader(path, percentage=percentage)
+        self.split = split
+        self.crop_size = crop_size
+        self.native_pipeline = False
+        if native_pipeline:
+            from clip_lite_tpu.data import native
+
+            if native.native_available():
+                self.native_reader = native.NativeClRecReader(path)
+                self.native_pipeline = True
+            else:
+                import logging
+
+                logging.getLogger("clip_lite_tpu").warning(
+                    "DATA.NATIVE_PIPELINE requested but native library not "
+                    "built (make -C native); using the Python path.")
+
+    def load_batch(self, indices) -> Dict[str, np.ndarray]:
+        """Batch fast path: fused native decode/crop/flip -> uint8 images
+        + tokenized captions.  Only called when native_pipeline is on."""
+        from clip_lite_tpu.data import native
+
+        rng = self._rng(int(indices[0]) + 1_000_003 * self.epoch)
+        recs = [self.native_reader[int(self.reader._indices[i])]
+                for i in indices]
+        jpegs = [r["image"] for r in recs]
+        n = len(recs)
+        if self.split == "train":
+            boxes = native.random_resized_crop_boxes(rng, n)
+        else:
+            boxes = np.full((n, 4), -1.0, np.float32)  # full resize
+        # Flip happens on device (engine); keep host tiles unflipped.
+        flips = np.zeros(n, np.uint8)
+        images, failures = native.decode_crop_batch(
+            jpegs, self.crop_size, boxes, flips,
+            num_threads=min(8, max(2, os.cpu_count() or 2)))
+
+        ids_list, mask_list, image_ids = [], [], []
+        for rec in recs:
+            captions = rec["captions"]
+            cap = captions[0] if self.use_single_caption else \
+                captions[int(rng.integers(len(captions)))]
+            cap = self.caption_transform(caption=cap, rng=rng)["caption"]
+            ids, mask = self._tokenize(cap)
+            ids_list.append(ids)
+            mask_list.append(mask)
+            image_ids.append(rec["image_id"])
+        return {
+            "image_id": np.asarray(image_ids, np.int64),
+            "image": images,  # uint8; device finishes preprocessing
+            "input_ids": np.stack(ids_list),
+            "attention_mask": np.stack(mask_list),
+        }
 
     def __len__(self):
         return len(self.reader)

@@ -82,8 +82,13 @@ class DataLoader:
                 yield idxs
 
     def _load_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor):
-        items = list(pool.map(self.dataset.__getitem__, idxs))
-        batch = self.dataset.collate_fn(items)
+        if getattr(self.dataset, "native_pipeline", False):
+            # Batch fast path: the native core parallelizes internally
+            # (GIL-free decode threads), no per-item Python map.
+            batch = self.dataset.load_batch(idxs)
+        else:
+            items = list(pool.map(self.dataset.__getitem__, idxs))
+            batch = self.dataset.collate_fn(items)
         if self.device_put_fn is not None:
             batch = self.device_put_fn(batch)
         return batch

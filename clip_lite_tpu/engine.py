@@ -66,13 +66,29 @@ def _fold_device_rng(rng: jax.Array, axis_name: str) -> jax.Array:
     return rng
 
 
+def _maybe_device_preprocess(batch, rng, train: bool):
+    """If the host shipped uint8 images (the native/TPU-first pipeline),
+    finish augmentation on device: random flip + color jitter + normalize.
+    Keyed on dtype — static at trace time, zero cost for fp32 pipelines."""
+    from clip_lite_tpu.ops.image_ops import device_preprocess
+
+    out = dict(batch)
+    for key in ("image", "neg_image", "aug_image"):
+        if key in out and out[key].dtype == jnp.uint8:
+            rng, sub = jax.random.split(rng)
+            out[key] = device_preprocess(
+                out[key], sub, flip=train, color_jitter=train)
+    return out
+
+
 def make_train_step(model, tx, data_axis: str = "data") -> Callable:
     """Build the per-shard train step (to be wrapped in shard_map + jit)."""
 
     def train_step(state: TrainState, batch, rng):
         step_rng = jax.random.fold_in(rng, state.step)
         step_rng = _fold_device_rng(step_rng, data_axis)
-        prior_rng, dropout_rng = jax.random.split(step_rng)
+        prior_rng, dropout_rng, aug_rng = jax.random.split(step_rng, 3)
+        batch = _maybe_device_preprocess(batch, aug_rng, train=True)
 
         def loss_fn(params):
             out, mutated = model.apply(
@@ -113,7 +129,8 @@ def make_eval_step(model, data_axis: str = "data") -> Callable:
     def eval_step(state: TrainState, batch, rng):
         step_rng = _fold_device_rng(jax.random.fold_in(rng, state.step),
                                     data_axis)
-        prior_rng, dropout_rng = jax.random.split(step_rng)
+        prior_rng, dropout_rng, aug_rng = jax.random.split(step_rng, 3)
+        batch = _maybe_device_preprocess(batch, aug_rng, train=False)
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch, train=False,

@@ -289,6 +289,9 @@ class PretrainingDatasetFactory(Factory):
             max_caption_length=_C.DATA.MAX_CAPTION_LENGTH,
             image_transform=_build_transform_pipeline(_C, split),
         )
+        if name == "captions":
+            kwargs["native_pipeline"] = _C.DATA.NATIVE_PIPELINE
+            kwargs["crop_size"] = _C.DATA.IMAGE_CROP_SIZE
         if name == "json":
             json_files = (
                 list(_C.DATA.JSON_FILES_TRAIN) if split == "train"

@@ -48,10 +48,47 @@ def random_flip(images: jax.Array, rng: jax.Array) -> jax.Array:
     return jnp.where(flips[:, None, None, None], flipped, images)
 
 
+def random_color_jitter(images: jax.Array, rng: jax.Array,
+                        brightness: float = 0.4, contrast: float = 0.4,
+                        saturation: float = 0.4, p: float = 0.8) -> jax.Array:
+    """Per-image brightness/contrast/saturation jitter in [0,255] space,
+    entirely on device (elementwise + per-image scalars — VPU work).
+
+    Mirrors the host ColorJitter's factor laws (data/transforms.py) except
+    hue, which needs an HSV round-trip and stays host-side when required.
+    """
+    b = images.shape[0]
+    k_apply, k_b, k_c, k_s = jax.random.split(rng, 4)
+    x = images.astype(jnp.float32)
+
+    fb = jax.random.uniform(k_b, (b, 1, 1, 1), minval=1 - brightness,
+                            maxval=1 + brightness)
+    x = x * fb
+
+    fc = jax.random.uniform(k_c, (b, 1, 1, 1), minval=1 - contrast,
+                            maxval=1 + contrast)
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    x = (x - mean) * fc + mean
+
+    fs = jax.random.uniform(k_s, (b, 1, 1, 1), minval=1 - saturation,
+                            maxval=1 + saturation)
+    gray = jnp.sum(x * jnp.asarray([0.299, 0.587, 0.114]), axis=-1,
+                   keepdims=True)
+    x = x * fs + gray * (1 - fs)
+
+    x = jnp.clip(x, 0.0, 255.0)
+    apply = jax.random.bernoulli(k_apply, p, (b, 1, 1, 1))
+    return jnp.where(apply, x, images.astype(jnp.float32))
+
+
 def device_preprocess(images_u8: jax.Array, rng: Optional[jax.Array] = None,
-                      flip: bool = True, dtype=jnp.float32,
-                      use_pallas: bool = False) -> jax.Array:
+                      flip: bool = True, color_jitter: bool = False,
+                      dtype=jnp.float32, use_pallas: bool = False) -> jax.Array:
     """Full on-device tail of the augmentation pipeline."""
-    if flip and rng is not None:
-        images_u8 = random_flip(images_u8, rng)
+    if rng is not None and (flip or color_jitter):
+        k_flip, k_jit = jax.random.split(rng)
+        if flip:
+            images_u8 = random_flip(images_u8, k_flip)
+        if color_jitter:
+            images_u8 = random_color_jitter(images_u8, k_jit)
     return normalize_images(images_u8, dtype=dtype, use_pallas=use_pallas)
