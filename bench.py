@@ -117,7 +117,7 @@ def main() -> None:
     import sys
 
     last_err = None
-    for per_chip_batch in (128, 64, 32, 16):
+    for per_chip_batch in (128, 64):
         try:
             result = _measure(per_chip_batch)
             print(json.dumps(result))

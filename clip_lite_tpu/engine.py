@@ -102,7 +102,15 @@ def make_train_step(model, tx, data_axis: str = "data") -> Callable:
             loss_fn, has_aux=True)(state.params)
 
         if axis_is_bound(data_axis):
-            grads = lax.pmean(grads, data_axis)
+            # Under shard_map's varying-axes checking (check_vma=True, the
+            # default we compile with), AD already inserts the cross-device
+            # psum for gradients of replicated parameters — the transpose
+            # of their implicit broadcast. Dividing by the axis size yields
+            # the mean; an explicit pmean here would silently keep the SUM
+            # (an 8x effective LR on an 8-device mesh — caught by the
+            # ZeRO-1 equivalence test).
+            n = lax.axis_size(data_axis)
+            grads = jax.tree.map(lambda g: g / n, grads)
             components = lax.pmean(components, data_axis)
             new_stats = lax.pmean(new_stats, data_axis)
 
@@ -152,27 +160,38 @@ def compile_train_step(model, tx, mesh: Mesh, data_axis: str = "data",
                        donate: bool = True) -> Callable:
     """jit(shard_map(train_step)) over the mesh: the deployable program.
 
-    Donation is forced off on CPU backends: donated-buffer reuse
-    serializes replica execution under XLA's in-process collectives, so
-    one participant can never reach a collective another replica is
-    blocked in — a guaranteed rendezvous deadlock (observed as
-    "Termination timeout for collective permute ... 7 of 8 arrived").
-    On TPU each replica is a real chip; donation is safe and saves HBM.
+    Donation is only enabled on real TPU platforms:
+      * CPU: donated-buffer reuse serializes replica execution under
+        XLA's in-process collectives — guaranteed rendezvous deadlock
+        ("Termination timeout for collective permute ... 7 of 8 arrived");
+      * axon (tunneled TPU): execution rejects donated programs with
+        an opaque INVALID_ARGUMENT.
+    See parallel.mesh.donation_supported.
     """
-    if mesh.devices.flat[0].platform == "cpu":
+    from clip_lite_tpu.parallel.mesh import donation_supported
+
+    if not donation_supported(mesh):
         donate = False
     step = make_train_step(model, tx, data_axis)
+    donate_argnums = (0,) if donate else ()
+    if mesh.devices.size == 1:
+        # Single device: plain jit. Identical semantics (the data axis is
+        # unbound, so collectives and the grad division no-op away) and it
+        # avoids shard_map's sharded-dispatch path, which is pathologically
+        # slow on tunneled backends (~250x observed).
+        return jax.jit(step, donate_argnums=donate_argnums)
     sharded = jax.shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(data_axis), P()),
         out_specs=(P(), P()),
     )
-    donate_argnums = (0,) if donate else ()
     return jax.jit(sharded, donate_argnums=donate_argnums)
 
 
 def compile_eval_step(model, mesh: Mesh, data_axis: str = "data") -> Callable:
     step = make_eval_step(model, data_axis)
+    if mesh.devices.size == 1:
+        return jax.jit(step)
     sharded = jax.shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(data_axis), P()),

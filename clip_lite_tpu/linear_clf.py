@@ -140,7 +140,11 @@ def main(_A) -> None:
             return cross_entropy(logits, batch["label"]), mutated
         (loss, mutated), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        grads = pmean_if_bound(grads, data_axis)
+        # AD already psums grads of replicated params under check_vma
+        # (see engine.make_train_step); divide for the mean.
+        if axis_is_bound(data_axis):
+            n = jax.lax.axis_size(data_axis)
+            grads = jax.tree.map(lambda g: g / n, grads)
         loss = pmean_if_bound(loss, data_axis)
         new_stats = pmean_if_bound(mutated.get("batch_stats", {}), data_axis)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -16,6 +16,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def donation_supported(mesh: Mesh) -> bool:
+    """Whether jit buffer donation is safe on this backend.
+
+    Broken in two environments we must run in:
+      * CPU: donated-buffer reuse deadlocks XLA's in-process collectives;
+      * axon-tunneled TPUs (which report platform=="tpu"!): execution of
+        donated programs fails with INVALID_ARGUMENT.  The tunnel is only
+        detectable via its environment variables.
+    """
+    import os
+
+    if mesh.devices.flat[0].platform != "tpu":
+        return False
+    if os.environ.get("JAX_PLATFORMS") == "axon" or \
+            os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
+        return False
+    return True
+
+
 def create_mesh(
     num_devices: int = 0,
     data_axis: str = "data",

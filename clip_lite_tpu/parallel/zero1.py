@@ -1,0 +1,316 @@
+"""ZeRO-1-style cross-replica weight-update sharding.
+
+Implements "Automatic Cross-Replica Sharding of Weight Update in
+Data-Parallel Training" (arXiv 2004.13336) for the data mesh — the
+scaling upgrade SURVEY.md section 2.2 marks as idiomatic for TPU DP:
+
+  * per-device gradients are **reduce-scattered** (psum_scatter) instead
+    of all-reduced: each device receives the mean of ONE 1/N slice;
+  * each device owns 1/N of the optimizer state (momentum + Lookahead
+    slow weights — 2x params fp32 in the flagship config) and updates
+    only its parameter slice;
+  * updated slices are **all-gathered** back into replicated parameters.
+
+Communication volume is identical to an all-reduce (scatter + gather),
+but optimizer memory and update FLOPs drop by the mesh size.
+
+The optimizer math operates on a single flattened fp32 parameter vector.
+Per-parameter-group learning rates and weight-decay masks become
+precomputed per-element vectors (built from tree paths on the host), so
+the sharded elementwise update reproduces the replicated optax chain
+(optim/__init__.py) EXACTLY — tested to float tolerance in
+tests/test_zero1.py.  Only the global-norm clip needs a collective
+(a scalar psum of shard-local sums of squares).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import lax
+from jax.flatten_util import ravel_pytree
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from clip_lite_tpu.optim import make_lr_tree_fn, _path_str
+
+
+class Zero1State(struct.PyTreeNode):
+    """Sharded optimizer state: every array is a (padded_len,) vector laid
+    out so that device d owns slice [d*K, (d+1)*K)."""
+
+    momentum: Any           # SGD trace or Adam mu
+    nu: Any                 # Adam second moment (zeros for SGD)
+    slow_params: Any        # Lookahead slow weights (or zeros if unused)
+    count: jnp.ndarray      # schedule step counter
+    la_count: jnp.ndarray   # lookahead step counter
+
+
+def build_flat_hyperparams(params, config) -> tuple:
+    """(lr_vec, wd_vec, unravel_fn, flat_len): per-element peak LR and
+    weight decay, in ravel_pytree order."""
+    flat, unravel = ravel_pytree(params)
+    lr_for = make_lr_tree_fn(config.OPTIM.CNN_LR, config.OPTIM.TRANS_LR,
+                             config.OPTIM.LR)
+    no_decay_re = (re.compile(config.OPTIM.NO_DECAY)
+                   if config.OPTIM.NO_DECAY else None)
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    lr_parts, wd_parts = [], []
+    for keypath, leaf in leaves:
+        path = _path_str(keypath)
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        lr_parts.append(np.full(n, lr_for(path), np.float32))
+        wd = 0.0 if (no_decay_re and no_decay_re.match(path)) else \
+            config.OPTIM.WEIGHT_DECAY
+        wd_parts.append(np.full(n, wd, np.float32))
+    lr_vec = np.concatenate(lr_parts)
+    wd_vec = np.concatenate(wd_parts)
+    assert lr_vec.shape == flat.shape
+    return jnp.asarray(lr_vec), jnp.asarray(wd_vec), unravel, flat.shape[0]
+
+
+def _pad_to(x: jax.Array, total: int) -> jax.Array:
+    return jnp.pad(x, (0, total - x.shape[0]))
+
+
+def create_zero1_opt_state(params, mesh: Mesh, data_axis: str = "data",
+                           use_lookahead: bool = True) -> Zero1State:
+    """Build the sharded state on the mesh: each array is (N*K,) with
+    sharding P(data_axis)."""
+    n = mesh.devices.size
+    flat, _ = ravel_pytree(params)
+    k = -(-flat.shape[0] // n)
+    total = n * k
+    sharding = NamedSharding(mesh, P(data_axis))
+    zeros = jax.device_put(jnp.zeros((total,), jnp.float32), sharding)
+    slow = jax.device_put(_pad_to(flat.astype(jnp.float32), total), sharding) \
+        if use_lookahead else zeros
+    return Zero1State(
+        momentum=zeros, nu=zeros, slow_params=slow,
+        count=jnp.zeros([], jnp.int32), la_count=jnp.zeros([], jnp.int32))
+
+
+def zero1_state_from_optax(opt_state, params, mesh: Mesh,
+                           data_axis: str = "data") -> Zero1State:
+    """Convert a replicated optax state (the optim/ chain) into sharded
+    ZeRO-1 state — enables switching a run to sharded updates mid-training
+    and powers the step-exact equivalence test."""
+    import optax
+
+    from clip_lite_tpu.optim.lookahead import LookaheadState
+
+    momentum_tree = None
+    nu_tree = None
+    count = jnp.zeros([], jnp.int32)
+    la_count = jnp.zeros([], jnp.int32)
+    slow_tree = params
+
+    def visit(s):
+        nonlocal momentum_tree, nu_tree, count, la_count, slow_tree
+        if isinstance(s, LookaheadState):
+            slow_tree = s.slow_params
+            la_count = s.step_count
+            visit(s.inner_state)
+        elif isinstance(s, optax.TraceState):
+            momentum_tree = s.trace
+        elif isinstance(s, optax.ScaleByAdamState):
+            momentum_tree = s.mu
+            nu_tree = s.nu
+        elif isinstance(s, optax.ScaleByScheduleState):
+            count = s.count
+        elif isinstance(s, tuple):
+            for item in s:
+                visit(item)
+
+    visit(opt_state)
+
+    n = mesh.devices.size
+    flat, _ = ravel_pytree(params)
+    k = -(-flat.shape[0] // n)
+    total = n * k
+    sharding = NamedSharding(mesh, P(data_axis))
+
+    def shard_tree(tree):
+        if tree is None:
+            return jax.device_put(jnp.zeros((total,), jnp.float32), sharding)
+        v, _ = ravel_pytree(tree)
+        return jax.device_put(_pad_to(v.astype(jnp.float32), total), sharding)
+
+    return Zero1State(
+        momentum=shard_tree(momentum_tree), nu=shard_tree(nu_tree),
+        slow_params=shard_tree(slow_tree),
+        count=jnp.asarray(count, jnp.int32),
+        la_count=jnp.asarray(la_count, jnp.int32))
+
+
+def make_zero1_update(config, schedule_fn, lr_vec, wd_vec, flat_len: int,
+                      data_axis: str = "data") -> Callable:
+    """Per-shard update: (full_flat_grads, state_shard, full_flat_params)
+    -> (new_full_flat_params, new_state_shard).
+
+    Runs INSIDE shard_map. full_flat_* are the replicated padded vectors;
+    state arrays arrive as (K,) shards.
+    """
+    opt_name = config.OPTIM.OPTIMIZER_NAME
+    momentum = config.OPTIM.SGD_MOMENTUM
+    clip_norm = config.OPTIM.CLIP_GRAD_NORM
+    la = config.OPTIM.LOOKAHEAD
+
+    def update(flat_grads, state: Zero1State, flat_params):
+        n = lax.axis_size(data_axis)
+        idx = lax.axis_index(data_axis)
+        k = flat_grads.shape[0] // n
+
+        # Reduce-scatter: mean of my slice across replicas.
+        grad_shard = lax.psum_scatter(
+            flat_grads, data_axis, scatter_dimension=0, tiled=True) / n
+        param_shard = lax.dynamic_slice(flat_params, (idx * k,), (k,))
+        lr_shard = lax.dynamic_slice(lr_vec, (idx * k,), (k,))
+        wd_shard = lax.dynamic_slice(wd_vec, (idx * k,), (k,))
+
+        # Global-norm clip of the MEAN gradient (matches
+        # optax.clip_by_global_norm over the pmean'd tree).
+        sq = lax.psum(jnp.sum(grad_shard * grad_shard), data_axis)
+        gnorm = jnp.sqrt(sq)
+        if clip_norm and clip_norm > 0:
+            scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-16))
+            grad_shard = grad_shard * scale
+
+        count = state.count
+        mult = schedule_fn(count)
+
+        if opt_name == "sgd":
+            g = grad_shard + wd_shard * param_shard  # coupled L2
+            if momentum:
+                trace = momentum * state.momentum + g
+            else:
+                trace = g
+            new_momentum, new_nu = trace, state.nu
+            update_vec = -(lr_shard * mult) * trace
+        elif opt_name == "adamw":
+            b1, b2, eps = 0.9, 0.999, 1e-8
+            mu = b1 * state.momentum + (1 - b1) * grad_shard
+            nu = b2 * state.nu + (1 - b2) * grad_shard * grad_shard
+            c = count + 1
+            mu_hat = mu / (1 - b1 ** c.astype(jnp.float32))
+            nu_hat = nu / (1 - b2 ** c.astype(jnp.float32))
+            adam = mu_hat / (jnp.sqrt(nu_hat) + eps)
+            new_momentum, new_nu = mu, nu
+            update_vec = -(lr_shard * mult) * (adam + wd_shard * param_shard)
+        else:
+            raise KeyError(f"Unknown optimizer {opt_name!r}")
+
+        fast = param_shard + update_vec
+
+        # Lookahead on the shard (same rule as optim/lookahead.py).
+        if la.USE:
+            la_count = state.la_count + 1
+            sync = (la_count % la.STEPS == 0)
+            synced = state.slow_params + la.ALPHA * (fast - state.slow_params)
+            new_param_shard = jnp.where(sync, synced, fast)
+            new_slow = jnp.where(sync, synced, state.slow_params)
+        else:
+            la_count = state.la_count
+            new_param_shard = fast
+            new_slow = state.slow_params
+
+        new_flat_params = lax.all_gather(
+            new_param_shard, data_axis, tiled=True)
+        new_state = Zero1State(
+            momentum=new_momentum, nu=new_nu, slow_params=new_slow,
+            count=count + 1, la_count=la_count)
+        return new_flat_params, new_state, gnorm
+
+    return update
+
+
+def compile_zero1_train_step(model, config, mesh: Mesh,
+                             sample_params, schedule_fn=None,
+                             data_axis: str = "data") -> Callable:
+    """jit(shard_map) train step with ZeRO-1 sharded weight update.
+
+    Signature matches engine.compile_train_step: (state, batch, rng) ->
+    (state, metrics), where state.opt_state is a Zero1State of sharded
+    flat vectors.
+    """
+    from clip_lite_tpu.engine import (
+        TrainState,
+        _fold_device_rng,
+        _maybe_device_preprocess,
+    )
+    from clip_lite_tpu.factories import LRSchedulerFactory
+
+    if schedule_fn is None:
+        schedule_fn = LRSchedulerFactory.from_config(config)
+    lr_vec, wd_vec, unravel, flat_len = build_flat_hyperparams(
+        sample_params, config)
+    n = mesh.devices.size
+    k = -(-flat_len // n)
+    total = n * k
+    lr_vec = _pad_to(lr_vec, total)
+    wd_vec = _pad_to(wd_vec, total)
+    update_fn = make_zero1_update(config, schedule_fn, lr_vec, wd_vec,
+                                  flat_len, data_axis)
+
+    def step(state: TrainState, batch, rng):
+        step_rng = _fold_device_rng(jax.random.fold_in(rng, state.step),
+                                    data_axis)
+        prior_rng, dropout_rng, aug_rng = jax.random.split(step_rng, 3)
+        batch = _maybe_device_preprocess(batch, aug_rng, train=True)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, mutable=["batch_stats"],
+                rngs={"prior": prior_rng, "dropout": dropout_rng})
+            return out["loss"], (out["loss_components"],
+                                 mutated.get("batch_stats", {}))
+
+        (loss, (components, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        components = lax.pmean(components, data_axis)
+        new_stats = lax.pmean(new_stats, data_axis)
+
+        flat_grads, _ = ravel_pytree(grads)
+        flat_grads = _pad_to(flat_grads.astype(jnp.float32), total)
+        flat_params, _ = ravel_pytree(state.params)
+        flat_params = _pad_to(flat_params.astype(jnp.float32), total)
+
+        new_flat, new_opt, gnorm = update_fn(
+            flat_grads, state.opt_state, flat_params)
+        new_params = unravel(new_flat[:flat_len])
+
+        metrics = dict(components)
+        metrics["grad_norm"] = gnorm
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        return new_state, metrics
+
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(TrainState(step=P(), params=P(),
+                             batch_stats=P(),
+                             opt_state=Zero1State(
+                                 momentum=P(data_axis), nu=P(data_axis),
+                                 slow_params=P(data_axis), count=P(),
+                                 la_count=P())),
+                  P(data_axis), P()),
+        out_specs=(TrainState(step=P(), params=P(), batch_stats=P(),
+                              opt_state=Zero1State(
+                                  momentum=P(data_axis), nu=P(data_axis),
+                                  slow_params=P(data_axis), count=P(),
+                                  la_count=P())),
+                   P()),
+        # The manual scatter/gather pattern defeats static replication
+        # inference (all_gather outputs are device-identical but the
+        # checker can't prove it); disable the check for this map.
+        check_vma=False,
+    )
+    from clip_lite_tpu.parallel.mesh import donation_supported
+
+    donate = (0,) if donation_supported(mesh) else ()
+    return jax.jit(sharded, donate_argnums=donate)

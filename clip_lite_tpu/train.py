@@ -151,8 +151,9 @@ def main(_A) -> None:
     sync_steps = mesh.devices.flat[0].platform == "cpu"
     timer = Timer(start_from=start_iteration + 1,
                   total_iterations=_C.OPTIM.NUM_ITERATIONS)
-    metrics_path = os.path.join(_A.serialization_dir, "metrics.jsonl")
-    metrics_file = open(metrics_path, "a")
+    from clip_lite_tpu.utils.loggers import MetricsWriter
+
+    writer = MetricsWriter(_A.serialization_dir, config=_C._C.to_dict())
     batch = first_batch
 
     for iteration in range(start_iteration + 1, _C.OPTIM.NUM_ITERATIONS + 1):
@@ -179,9 +180,7 @@ def main(_A) -> None:
                         timer.stats, metrics["total_loss"],
                         metrics["cross_modal_loss"], metrics["grad_norm"],
                         device_mem_usage_mb())
-            metrics_file.write(json.dumps(
-                {"iteration": iteration, "split": "train", **metrics}) + "\n")
-            metrics_file.flush()
+            writer.write(iteration, metrics, split="train")
 
         if iteration % _A.checkpoint_every == 0:
             # Val sweep (reference: train.py:257-288).
@@ -196,10 +195,7 @@ def main(_A) -> None:
                 val_means = {k: v / n_batches for k, v in val_sums.items()}
                 logger.info("VAL @ %d: %s", iteration,
                             {k: round(v, 4) for k, v in val_means.items()})
-                metrics_file.write(json.dumps(
-                    {"iteration": iteration, "split": "val",
-                     **val_means}) + "\n")
-                metrics_file.flush()
+                writer.write(iteration, val_means, split="val")
                 metric = val_means.get("total_loss")
             else:
                 metric = None
@@ -215,7 +211,7 @@ def main(_A) -> None:
     # Final checkpoint so short runs always leave an artifact.
     manager.checkpointables["state"] = state
     manager.step(_C.OPTIM.NUM_ITERATIONS)
-    metrics_file.close()
+    writer.close()
     logger.info("Done: %d iterations.", _C.OPTIM.NUM_ITERATIONS)
 
 

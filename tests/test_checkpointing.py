@@ -1,0 +1,95 @@
+"""CheckpointManager tests: round-trip, rotation, best-metric, climax,
+latest lookup, atomicity."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from clip_lite_tpu.engine import TrainState
+from clip_lite_tpu.utils.checkpointing import (
+    CheckpointManager,
+    latest_checkpoint,
+    load_model_variables,
+)
+
+
+def tiny_state(value=1.0):
+    return TrainState(
+        step=jnp.asarray(3, jnp.int32),
+        params={"layer": {"w": jnp.full((4,), value)}},
+        batch_stats={"layer": {"mean": jnp.zeros(4)}},
+        opt_state=(jnp.asarray(7, jnp.int32), {"m": jnp.ones(2)}),
+    )
+
+
+def test_roundtrip(tmp_path):
+    m = CheckpointManager(str(tmp_path), state=tiny_state(2.5))
+    path = m.step(10)
+    m2 = CheckpointManager(str(tmp_path), state=tiny_state(0.0))
+    it = m2.load(path)
+    assert it == 10
+    restored = m2.restored("state")
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["layer"]["w"]), np.full(4, 2.5))
+    assert int(restored.step) == 3
+    assert int(restored.opt_state[0]) == 7
+
+
+def test_rotation(tmp_path):
+    m = CheckpointManager(str(tmp_path), keep_recent=2, state=tiny_state())
+    for it in (1, 2, 3, 4):
+        m.step(it)
+    files = sorted(os.listdir(tmp_path))
+    assert "checkpoint_1.msgpack" not in files
+    assert "checkpoint_2.msgpack" not in files
+    assert "checkpoint_3.msgpack" in files and "checkpoint_4.msgpack" in files
+
+
+def test_best_metric_min_mode(tmp_path):
+    m = CheckpointManager(str(tmp_path), state=tiny_state(1.0))
+    m.step(1, metric=5.0)
+    m.checkpointables["state"] = tiny_state(2.0)
+    m.step(2, metric=3.0)  # better
+    m.checkpointables["state"] = tiny_state(9.0)
+    m.step(3, metric=4.0)  # worse; best stays from it=2
+    best = load_model_variables(str(tmp_path / "checkpoint_best.msgpack"))
+    np.testing.assert_array_equal(
+        np.asarray(best["params"]["layer"]["w"]), np.full(4, 2.0))
+
+
+def test_climax_model_only(tmp_path):
+    m = CheckpointManager(str(tmp_path), state=tiny_state(3.0))
+    path = m.climax_step(42)
+    assert "climax_model_42" in path
+    variables = load_model_variables(path)
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["layer"]["w"]), np.full(4, 3.0))
+    assert "opt_state" not in variables
+
+
+def test_latest_checkpoint(tmp_path):
+    m = CheckpointManager(str(tmp_path), state=tiny_state())
+    m.step(5)
+    m.step(20)
+    m.climax_step(99)  # climax snapshots are not "latest" candidates
+    assert latest_checkpoint(str(tmp_path)).endswith("checkpoint_20.msgpack")
+    assert latest_checkpoint("/tmp/definitely_empty_dir_xyz") is None
+
+
+def test_no_partial_files_on_disk(tmp_path):
+    m = CheckpointManager(str(tmp_path), state=tiny_state())
+    m.step(1)
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+
+
+def test_load_tolerates_extra_checkpointables(tmp_path):
+    """Loading a checkpoint that contains MORE checkpointables than the
+    manager knows (e.g. older run) must not crash (reference tolerant
+    load, utils/checkpointing.py:195-222)."""
+    m = CheckpointManager(str(tmp_path), state=tiny_state(),
+                          extra={"x": jnp.ones(3)})
+    path = m.step(7)
+    m2 = CheckpointManager(str(tmp_path), state=tiny_state(0.0))
+    assert m2.load(path) == 7
