@@ -45,11 +45,18 @@ def peak_tflops(device) -> float:
     return 197.0  # assume v5e
 
 
-def _measure(per_chip_batch: int) -> dict:
+def _measure(per_chip_batch: int, steps_per_call: int = 1) -> dict:
+    # steps_per_call>1 (device-side scan) measured within noise of
+    # single-step here (1427 vs 1460 img/s): dispatch is async so host
+    # overhead already overlaps; keep the simpler single-step benchmark.
     import jax
 
     from clip_lite_tpu.config import Config
-    from clip_lite_tpu.engine import compile_train_step, create_train_state
+    from clip_lite_tpu.engine import (
+        compile_train_step,
+        create_train_state,
+        stack_batches,
+    )
     from clip_lite_tpu.factories import (
         OptimizerFactory,
         PretrainingModelFactory,
@@ -81,25 +88,28 @@ def _measure(per_chip_batch: int) -> dict:
     state = create_train_state(model, tx, batch)
     mesh = create_mesh(data_axis=cfg.PARALLEL.DATA_AXIS)
     step = compile_train_step(model, tx, mesh, cfg.PARALLEL.DATA_AXIS,
-                              donate=True)
-    device_batch = shard_batch(batch, mesh, cfg.PARALLEL.DATA_AXIS)
+                              donate=True, steps_per_call=steps_per_call)
+    if steps_per_call > 1:
+        batch = stack_batches([batch] * steps_per_call)
+    device_batch = shard_batch(batch, mesh, cfg.PARALLEL.DATA_AXIS) \
+        if steps_per_call <= 1 else jax.device_put(batch)
     key = jax.random.PRNGKey(0)
 
-    # Warmup (compile + 2 steady steps). NOTE: on the axon tunnel backend
+    # Warmup (compile + steady calls). NOTE: on the axon tunnel backend
     # block_until_ready does not synchronize; fetching a scalar that
     # data-depends on the full step chain does.
-    for _ in range(3):
+    for _ in range(2):
         state, metrics = step(state, device_batch, key)
     _ = float(metrics["total_loss"])
 
-    n_steps = 20
+    n_calls = max(3, 20 // steps_per_call)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
+    for _ in range(n_calls):
         state, metrics = step(state, device_batch, key)
     _ = float(metrics["total_loss"])  # sync: depends on the whole chain
     dt = time.perf_counter() - t0
 
-    images_per_sec = batch_size * n_steps / dt
+    images_per_sec = batch_size * steps_per_call * n_calls / dt
     per_chip = images_per_sec / n_chips
 
     roofline = peak_tflops(devices[0]) * 1e3 / FLAGSHIP_TRAIN_GFLOPS_PER_IMAGE
@@ -110,6 +120,7 @@ def _measure(per_chip_batch: int) -> dict:
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / target, 4),
         "per_chip_batch": per_chip_batch,
+        "steps_per_call": steps_per_call,
     }
 
 

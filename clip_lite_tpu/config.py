@@ -322,6 +322,9 @@ class Config:
         _C.PARALLEL.NUM_DEVICES = 0
         # Donate batch+state buffers to the jitted step.
         _C.PARALLEL.DONATE = True
+        # Device-side train-loop fusion: steps executed per compiled call
+        # (lax.scan over stacked batches). 1 = classic one-step dispatch.
+        _C.PARALLEL.STEPS_PER_CALL = 1
 
         _C.RUN_ID = ""
 

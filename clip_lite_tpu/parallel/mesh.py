@@ -63,6 +63,13 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_stacked_batch(batch, mesh: Mesh, data_axis: str = "data"):
+    """Device-put a stacked (K, B, ...) batch pytree: leading scan dim
+    replicated, batch dim sharded."""
+    sharding = NamedSharding(mesh, P(None, data_axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
 def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
     """Device-put a host batch pytree with the leading dim sharded.
 

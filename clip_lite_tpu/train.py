@@ -64,9 +64,12 @@ group.add_argument("--climax-freq", type=int, default=1000,
 group.add_argument("--keep-recent", type=int, default=100)
 
 
-def init_dataloaders(_C, _A, mesh, kind: str = "normal"):
+def init_dataloaders(_C, _A, mesh, kind: str = "normal",
+                     train_put: bool = True):
     """Build train/val loaders (reference: train.py:62-117).  Cluster mode
-    halves the batch: each item carries a positive AND a hard negative."""
+    halves the batch: each item carries a positive AND a hard negative.
+    train_put=False keeps train batches on host (the scanned multi-step
+    path stacks K of them before one device placement)."""
     if kind == "normal":
         train_ds = PretrainingDatasetFactory.from_config(_C, split="train")
         val_ds = PretrainingDatasetFactory.from_config(_C, split="val")
@@ -77,13 +80,15 @@ def init_dataloaders(_C, _A, mesh, kind: str = "normal"):
         batch_size = _C.OPTIM.BATCH_SIZE // 2
 
     put = lambda b: shard_batch(b, mesh, _C.PARALLEL.DATA_AXIS)
+    train_putter = put if train_put else None
     # On CPU backends host threads starve XLA's in-process collective
     # rendezvous; load synchronously there (see data/pipeline.py).
     background = mesh.devices.flat[0].platform != "cpu"
     train_loader = DataLoader(
         train_ds, batch_size, shuffle=True, drop_last=True,
         num_workers=_A.cpu_workers, seed=_C.RANDOM_SEED,
-        prefetch=_C.DATA.PREFETCH, device_put_fn=put, background=background)
+        prefetch=_C.DATA.PREFETCH, device_put_fn=train_putter,
+        background=background)
     val_loader = DataLoader(
         val_ds, batch_size, shuffle=False, drop_last=True,
         num_workers=_A.cpu_workers, seed=_C.RANDOM_SEED,
@@ -117,8 +122,10 @@ def main(_A) -> None:
         # full load below; here just decide the phase).
         pass
 
+    steps_per_call = max(1, _C.PARALLEL.STEPS_PER_CALL)
     kind = "normal"
-    train_loader, val_loader = init_dataloaders(_C, _A, mesh, kind)
+    train_loader, val_loader = init_dataloaders(
+        _C, _A, mesh, kind, train_put=(steps_per_call == 1))
     batches = infinite_batches(train_loader, start_iteration)
     first_batch = next(batches)
 
@@ -144,9 +151,25 @@ def main(_A) -> None:
         first_batch = next(batches)
 
     train_step = compile_train_step(model, tx, mesh, _C.PARALLEL.DATA_AXIS,
-                                    donate=_C.PARALLEL.DONATE)
+                                    donate=_C.PARALLEL.DONATE,
+                                    steps_per_call=steps_per_call)
     eval_step = compile_eval_step(model, mesh, _C.PARALLEL.DATA_AXIS)
     rng = jax.random.PRNGKey(_C.RANDOM_SEED)
+
+    if steps_per_call > 1:
+        from clip_lite_tpu.engine import stack_batches
+        from clip_lite_tpu.parallel.mesh import shard_stacked_batch
+
+        def next_train_input(first=None):
+            """Stack K host batches into one device placement."""
+            host = [first] if first is not None else [next(batches)]
+            while len(host) < steps_per_call:
+                host.append(next(batches))
+            return shard_stacked_batch(stack_batches(host), mesh,
+                                       _C.PARALLEL.DATA_AXIS)
+    else:
+        def next_train_input(first=None):
+            return first if first is not None else next(batches)
 
     sync_steps = mesh.devices.flat[0].platform == "cpu"
     timer = Timer(start_from=start_iteration + 1,
@@ -154,26 +177,30 @@ def main(_A) -> None:
     from clip_lite_tpu.utils.loggers import MetricsWriter
 
     writer = MetricsWriter(_A.serialization_dir, config=_C._C.to_dict())
-    batch = first_batch
+    batch = next_train_input(first_batch)
 
-    for iteration in range(start_iteration + 1, _C.OPTIM.NUM_ITERATIONS + 1):
+    iteration = start_iteration
+    while iteration < _C.OPTIM.NUM_ITERATIONS:
+        iteration += steps_per_call
         # Mid-training hard-negative curriculum switch.
-        if use_clusters and iteration == switch_iter and kind == "normal":
+        if use_clusters and kind == "normal" and iteration >= switch_iter:
             logger.info("Switching to clustered hard-negative sampling "
                         "(iteration %d)", iteration)
             kind = "clusters"
-            train_loader, val_loader = init_dataloaders(_C, _A, mesh, kind)
+            train_loader, val_loader = init_dataloaders(
+                _C, _A, mesh, kind, train_put=(steps_per_call == 1))
             batches = infinite_batches(train_loader, iteration)
-            batch = next(batches)
+            batch = next_train_input()
 
         timer.tic()
         state, metrics = train_step(state, batch, rng)
         if sync_steps:
             jax.block_until_ready(state)
-        batch = next(batches)  # overlap host fetch with device step (TPU)
+        batch = next_train_input()  # overlap host fetch with device step
         if iteration % _A.log_every == 0:
             metrics = jax.tree.map(float, jax.device_get(metrics))
         timer.toc()
+        timer.current_iter = iteration + 1  # K iterations per call
 
         if iteration % _A.log_every == 0:
             logger.info("%s | loss %.3f (xm %.3f) | gnorm %.2f | mem %d MB",
