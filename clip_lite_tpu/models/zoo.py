@@ -591,6 +591,73 @@ class Regress(nn.Module):
         return nn.relu(Linear(self.dim_out, name="linear")(x))
 
 
+class Paraphraser(nn.Module):
+    """Factor-transfer teacher-side autoencoder: 3 conv encoder to k x C
+    channels + 3 conv decoder (reference: model_zoo/util.py Paraphraser)."""
+
+    k: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        c = x.shape[-1]
+        mid = max(8, int(round(c * self.k)))
+        h = x
+        for i, f in enumerate([c, mid, mid]):
+            h = ConvBN(f, name=f"enc{i}")(h, train)
+        factors = h
+        for i, f in enumerate([mid, c, c]):
+            h = ConvBN(f, name=f"dec{i}")(h, train)
+        return factors, h
+
+
+class Translator(nn.Module):
+    """Factor-transfer student-side encoder to the teacher factor space."""
+
+    k: float = 0.5
+    out_channels: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        mid = max(8, int(round(self.out_channels * self.k)))
+        h = x
+        for i, f in enumerate([self.out_channels, mid, mid]):
+            h = ConvBN(f, name=f"t{i}")(h, train)
+        return h
+
+
+class Connector(nn.Module):
+    """1x1-conv feature adapter between student/teacher stages."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return ConvBN(self.out_channels, kernel=(1, 1), use_relu=False,
+                      name="conn")(x, train)
+
+
+class PoolEmbed(nn.Module):
+    """Adaptive-pool a feature map then embed + normalize."""
+
+    dim_out: int = 128
+    pool_size: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x.astype(jnp.float32),
+                             (b, self.pool_size, self.pool_size, c),
+                             method="linear")
+        x = Linear(self.dim_out, name="linear")(x.reshape(b, -1))
+        from clip_lite_tpu.ops.layers import l2_normalize
+
+        return l2_normalize(x)
+
+
+def flatten_features(x: jax.Array) -> jax.Array:
+    return x.reshape(x.shape[0], -1)
+
+
 # ---------------------------------------------------------------------------
 # Registry (reference: model_zoo/__init__.py:10-37).
 # ---------------------------------------------------------------------------
