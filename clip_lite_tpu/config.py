@@ -249,6 +249,9 @@ class Config:
         _C.MODEL.VISUAL.FROZEN = False
         _C.MODEL.VISUAL.SELF_SUPERVISED = False
         _C.MODEL.VISUAL.PRETRAINED = False
+        # Local torch state_dict to initialize the tower from (offline
+        # replacement for torchvision's hub download).
+        _C.MODEL.VISUAL.PRETRAINED_PATH = ""
         # BatchNorm behavior under data parallelism: "local" keeps
         # per-device statistics (reference DDP semantics), "sync"
         # cross-replica statistics (quality upgrade; uses axis_name psum).
@@ -257,6 +260,8 @@ class Config:
         _C.MODEL.TEXTUAL = ConfigNode()
         _C.MODEL.TEXTUAL.NAME = "train_sbert"
         _C.MODEL.TEXTUAL.PRETRAINED = False
+        # Local HF torch state_dict for pretrained initialization.
+        _C.MODEL.TEXTUAL.PRETRAINED_PATH = ""
         _C.MODEL.TEXTUAL.NETWORK_NAME = "bert-base-uncased"
         _C.MODEL.TEXTUAL.WORD_DICT_PATH = "datasets/vocab/word_dict.json"
         _C.MODEL.TEXTUAL.LOAD_GLOVE = False

@@ -106,6 +106,56 @@ class HashingTokenizer:
         return {"input_ids": all_ids, "attention_mask": all_masks}
 
 
+class SentencePieceBPETokenizer:
+    """SentencePiece BPE tokenizer (reference: data/tokenizers.py:57-111).
+
+    Pickle-safe: the processor re-opens lazily after fork/pickle.  The
+    sentencepiece package is optional in this environment; constructing
+    without it raises with instructions.
+    """
+
+    SP_SPACE = "▁"
+
+    def __init__(self, model_path: str):
+        self.model_path = model_path
+        self._sp = None
+
+    def _processor(self):
+        if self._sp is None:
+            try:
+                import sentencepiece as sp
+            except ImportError as e:
+                raise ImportError(
+                    "SentencePieceBPETokenizer needs the sentencepiece "
+                    "package (not in this environment); use GloveTokenizer "
+                    "or an HF tokenizer instead.") from e
+            self._sp = sp.SentencePieceProcessor()
+            self._sp.Load(self.model_path)
+        return self._sp
+
+    def __len__(self):
+        return self._processor().get_piece_size()
+
+    def token_to_id(self, token: str) -> int:
+        return self._processor().piece_to_id(token)
+
+    def id_to_token(self, idx: int) -> str:
+        return self._processor().id_to_piece(idx)
+
+    def encode(self, text: str) -> List[int]:
+        return self._processor().encode_as_ids(" " + text.strip())
+
+    def decode(self, ids: List[int]) -> str:
+        pieces = [self.id_to_token(i) for i in ids]
+        return "".join(pieces).replace(self.SP_SPACE, " ").strip()
+
+    def __getstate__(self):
+        return {"model_path": self.model_path}
+
+    def __setstate__(self, state):
+        self.__init__(state["model_path"])
+
+
 _HF_CACHE: dict = {}
 
 

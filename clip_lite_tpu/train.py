@@ -130,6 +130,15 @@ def main(_A) -> None:
     first_batch = next(batches)
 
     state = create_train_state(model, tx, first_batch, seed=_C.RANDOM_SEED)
+    if (_C.MODEL.VISUAL.PRETRAINED and _C.MODEL.VISUAL.PRETRAINED_PATH) or \
+            (_C.MODEL.TEXTUAL.PRETRAINED and _C.MODEL.TEXTUAL.PRETRAINED_PATH):
+        from clip_lite_tpu.models.pretrained import apply_pretrained_weights
+
+        variables = apply_pretrained_weights(
+            {"params": state.params, "batch_stats": state.batch_stats}, _C)
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"],
+                              opt_state=tx.init(variables["params"]))
     n_params = sum(int(np.prod(x.shape)) for x in
                    jax.tree.leaves(state.params))
     logger.info("Model: %s + %s | %.2fM params",
