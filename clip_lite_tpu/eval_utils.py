@@ -36,11 +36,14 @@ class EncoderBundle:
 
         crop = config.DATA.IMAGE_CROP_SIZE
         seq = config.DATA.MAX_CAPTION_LENGTH
-        sample = {
-            "image": jnp.zeros((1, crop, crop, 3), jnp.float32),
-            "input_ids": jnp.zeros((1, seq), jnp.int32),
-            "attention_mask": jnp.ones((1, seq), jnp.int32),
-        }
+        sample = {"image": jnp.zeros((1, crop, crop, 3), jnp.float32)}
+        if config.MODEL.TEXTUAL.NAME == "glove":
+            sample["caption_tokens"] = jnp.zeros((1, seq), jnp.int32)
+        elif config.MODEL.TEXTUAL.NAME == "sbert":
+            sample["caption_encodings"] = jnp.zeros((1, 768), jnp.float32)
+        else:
+            sample["input_ids"] = jnp.zeros((1, seq), jnp.int32)
+            sample["attention_mask"] = jnp.ones((1, seq), jnp.int32)
         if checkpoint_path:
             self.variables = load_model_variables(checkpoint_path)
         else:
@@ -63,11 +66,15 @@ class EncoderBundle:
                                     method=model.project_image)
             return l2_normalize(feats) if normalize else feats
 
+        text_mode = config.MODEL.TEXTUAL.NAME
+
         def _txt(input_ids, attention_mask):
-            feats = model.apply(
-                variables,
-                {"input_ids": input_ids, "attention_mask": attention_mask},
-                method=model.encode_text)
+            if text_mode == "glove":
+                batch = {"caption_tokens": input_ids}
+            else:
+                batch = {"input_ids": input_ids,
+                         "attention_mask": attention_mask}
+            feats = model.apply(variables, batch, method=model.encode_text)
             if project:
                 feats = model.apply(variables, feats,
                                     method=model.project_text)
@@ -91,10 +98,19 @@ class EncoderBundle:
 
     def encode_texts(self, texts: List[str], tokenizer) -> np.ndarray:
         seq = self.config.DATA.MAX_CAPTION_LENGTH
-        enc = tokenizer(list(texts), padding="max_length", truncation=True,
-                        max_length=seq)
-        ids = np.asarray(enc["input_ids"], np.int32)
-        mask = np.asarray(enc["attention_mask"], np.int32)
+        if self.config.MODEL.TEXTUAL.NAME == "glove":
+            # GloveTokenizer: variable-length id lists, pad to seq.
+            pad = tokenizer.pad_id
+            ids = np.full((len(texts), seq), pad, np.int32)
+            for i, t in enumerate(texts):
+                enc = tokenizer.encode(t)[:seq]
+                ids[i, : len(enc)] = enc
+            mask = (ids != pad).astype(np.int32)
+        else:
+            enc = tokenizer(list(texts), padding="max_length",
+                            truncation=True, max_length=seq)
+            ids = np.asarray(enc["input_ids"], np.int32)
+            mask = np.asarray(enc["attention_mask"], np.int32)
         return _chunked(self._txt_fn, self.batch_size, ids, mask)
 
 
