@@ -282,7 +282,7 @@ class CocoCaptionsDataset(CaptionDatasetBase):
         flips = np.zeros(n, np.uint8)
         images, failures = native.decode_crop_batch(
             jpegs, self.crop_size, boxes, flips,
-            num_threads=min(8, max(2, os.cpu_count() or 2)))
+            num_threads=max(1, os.cpu_count() or 1))
 
         ids_list, mask_list, image_ids = [], [], []
         for rec in recs:
