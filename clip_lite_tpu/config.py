@@ -330,6 +330,18 @@ class Config:
         # Device-side train-loop fusion: steps executed per compiled call
         # (lax.scan over stacked batches). 1 = classic one-step dispatch.
         _C.PARALLEL.STEPS_PER_CALL = 1
+        # ZeRO-1 cross-replica weight-update sharding (arXiv 2004.13336):
+        # reduce-scatter grads, shard optimizer state 1/N per device,
+        # all-gather updated params (parallel/zero1.py). Requires a
+        # multi-device mesh; mutually exclusive with STEPS_PER_CALL > 1.
+        _C.PARALLEL.ZERO1 = False
+
+        # Fused single-pass optimizer update (optim/fused.py): identical
+        # math to the composable optax chain, ~4x cheaper on TPU (one
+        # kernel per leaf instead of per chain stage). Turn off to use
+        # the reference-shaped optax chain (e.g. for state-layout
+        # compatibility with old checkpoints).
+        _C.OPTIM.FUSED = True
 
         _C.RUN_ID = ""
 

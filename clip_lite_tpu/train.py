@@ -62,6 +62,10 @@ group.add_argument("--log-every", type=int, default=500)
 group.add_argument("--climax-freq", type=int, default=1000,
                    help="Checkpoint frequency in the last 20%% of training.")
 group.add_argument("--keep-recent", type=int, default=100)
+group.add_argument("--profile-dir", default=None,
+                   help="Capture a jax.profiler trace of a few steady-state "
+                        "steps into this directory (view with TensorBoard / "
+                        "xprof).")
 
 
 def init_dataloaders(_C, _A, mesh, kind: str = "normal",
@@ -96,6 +100,21 @@ def init_dataloaders(_C, _A, mesh, kind: str = "normal",
     return train_loader, val_loader
 
 
+def crossed_interval(iteration: int, interval: int,
+                     steps_per_call: int = 1) -> bool:
+    """True iff a multiple of ``interval`` lies in the half-open window
+    ``(iteration - steps_per_call, iteration]`` — i.e. the compiled call
+    that just finished crossed a cadence boundary.
+
+    With ``steps_per_call == 1`` this is exactly the reference's modulo
+    check ``iteration % interval == 0`` (reference: train.py:230,250,290).
+    With K > 1 the loop only observes every K-th iteration, so a plain
+    modulo test silently skips every boundary K does not divide — no
+    checkpoints, no val sweeps, no logs for the whole run.
+    """
+    return iteration % interval < steps_per_call
+
+
 def main(_A) -> None:
     apply_platform_args(_A)
     _C = Config(_A.config, list(_A.config_override))
@@ -115,15 +134,28 @@ def main(_A) -> None:
     use_clusters = "clusters" in _C.DATA.NEGATIVE_SAMPLING
     switch_iter = _C.DATA.NEGATIVE_SAMPLING_START_ITERATION
 
-    # Data: start in the phase matching the resume iteration.
-    start_iteration = 0
-    if _A.resume_from:
-        # Peek iteration before building state (cheap: metadata only after
-        # full load below; here just decide the phase).
-        pass
-
     steps_per_call = max(1, _C.PARALLEL.STEPS_PER_CALL)
+    use_zero1 = bool(_C.PARALLEL.ZERO1)
+    if use_zero1 and steps_per_call > 1:
+        raise ValueError("PARALLEL.ZERO1 is incompatible with "
+                         "PARALLEL.STEPS_PER_CALL > 1")
+    if use_zero1 and n_dev == 1:
+        logger.warning("PARALLEL.ZERO1 on a single-device mesh shards "
+                       "nothing; using the replicated update instead")
+        use_zero1 = False
+
+    # Decide the curriculum phase BEFORE building any loader: resume peeks
+    # only the stored iteration (reference: train.py:151-163 decides the
+    # phase after a full load; here the loaders are built exactly once).
+    start_iteration = 0
     kind = "normal"
+    if _A.resume_from:
+        from clip_lite_tpu.utils.checkpointing import peek_iteration
+
+        start_iteration = peek_iteration(_A.resume_from)
+        if use_clusters and start_iteration >= switch_iter:
+            kind = "clusters"
+
     train_loader, val_loader = init_dataloaders(
         _C, _A, mesh, kind, train_put=(steps_per_call == 1))
     batches = infinite_batches(train_loader, start_iteration)
@@ -139,6 +171,14 @@ def main(_A) -> None:
         state = state.replace(params=variables["params"],
                               batch_stats=variables["batch_stats"],
                               opt_state=tx.init(variables["params"]))
+    if use_zero1:
+        from clip_lite_tpu.parallel.zero1 import create_zero1_opt_state
+
+        state = state.replace(opt_state=create_zero1_opt_state(
+            state.params, mesh, _C.PARALLEL.DATA_AXIS,
+            use_lookahead=_C.OPTIM.LOOKAHEAD.USE))
+        logger.info("ZeRO-1 weight-update sharding: optimizer state "
+                    "1/%d per device", n_dev)
     n_params = sum(int(np.prod(x.shape)) for x in
                    jax.tree.leaves(state.params))
     logger.info("Model: %s + %s | %.2fM params",
@@ -149,19 +189,22 @@ def main(_A) -> None:
     manager = CheckpointManager(ckpt_dir, keep_recent=_A.keep_recent,
                                 state=state)
     if _A.resume_from:
-        start_iteration = manager.load(_A.resume_from)
+        loaded_iteration = manager.load(_A.resume_from)
+        assert loaded_iteration == start_iteration  # peeked above
         state = manager.restored("state")
-        logger.info("Resumed from %s at iteration %d",
-                    _A.resume_from, start_iteration)
-        if use_clusters and start_iteration >= switch_iter:
-            kind = "clusters"
-            train_loader, val_loader = init_dataloaders(_C, _A, mesh, kind)
-        batches = infinite_batches(train_loader, start_iteration)
-        first_batch = next(batches)
+        logger.info("Resumed from %s at iteration %d (%s phase)",
+                    _A.resume_from, start_iteration, kind)
 
-    train_step = compile_train_step(model, tx, mesh, _C.PARALLEL.DATA_AXIS,
-                                    donate=_C.PARALLEL.DONATE,
-                                    steps_per_call=steps_per_call)
+    if use_zero1:
+        from clip_lite_tpu.parallel.zero1 import compile_zero1_train_step
+
+        train_step = compile_zero1_train_step(
+            model, _C, mesh, state.params, data_axis=_C.PARALLEL.DATA_AXIS)
+    else:
+        train_step = compile_train_step(model, tx, mesh,
+                                        _C.PARALLEL.DATA_AXIS,
+                                        donate=_C.PARALLEL.DONATE,
+                                        steps_per_call=steps_per_call)
     eval_step = compile_eval_step(model, mesh, _C.PARALLEL.DATA_AXIS)
     rng = jax.random.PRNGKey(_C.RANDOM_SEED)
 
@@ -188,9 +231,16 @@ def main(_A) -> None:
     writer = MetricsWriter(_A.serialization_dir, config=_C._C.to_dict())
     batch = next_train_input(first_batch)
 
+    profiling = False
     iteration = start_iteration
     while iteration < _C.OPTIM.NUM_ITERATIONS:
         iteration += steps_per_call
+        if _A.profile_dir and not profiling and \
+                iteration - start_iteration >= 3 * steps_per_call:
+            # Trace a few steady-state (post-compile) steps.
+            jax.profiler.start_trace(_A.profile_dir)
+            profiling = True
+            profile_stop_at = iteration + 5 * steps_per_call
         # Mid-training hard-negative curriculum switch.
         if use_clusters and kind == "normal" and iteration >= switch_iter:
             logger.info("Switching to clustered hard-negative sampling "
@@ -206,24 +256,35 @@ def main(_A) -> None:
         if sync_steps:
             jax.block_until_ready(state)
         batch = next_train_input()  # overlap host fetch with device step
-        if iteration % _A.log_every == 0:
+        if profiling and iteration >= profile_stop_at:
+            jax.block_until_ready(state)
+            jax.profiler.stop_trace()
+            profiling = False
+            _A.profile_dir = None
+            logger.info("Profiler trace written (steps %d..%d)",
+                        profile_stop_at - 5 * steps_per_call, iteration)
+        log_now = crossed_interval(iteration, _A.log_every, steps_per_call)
+        if log_now:
             metrics = jax.tree.map(float, jax.device_get(metrics))
         timer.toc()
         timer.current_iter = iteration + 1  # K iterations per call
 
-        if iteration % _A.log_every == 0:
+        if log_now:
             logger.info("%s | loss %.3f (xm %.3f) | gnorm %.2f | mem %d MB",
                         timer.stats, metrics["total_loss"],
                         metrics["cross_modal_loss"], metrics["grad_norm"],
                         device_mem_usage_mb())
             writer.write(iteration, metrics, split="train")
 
-        if iteration % _A.checkpoint_every == 0:
-            # Val sweep (reference: train.py:257-288).
+        if crossed_interval(iteration, _A.checkpoint_every, steps_per_call):
+            # Val sweep (reference: train.py:257-288). Each batch folds
+            # its index into the key so prior-noise draws differ across
+            # the sweep (state.step alone is constant during it).
             val_sums: Dict[str, float] = {}
             n_batches = 0
             for val_batch in val_loader:
-                comps = jax.device_get(eval_step(state, val_batch, rng))
+                batch_rng = jax.random.fold_in(rng, n_batches)
+                comps = jax.device_get(eval_step(state, val_batch, batch_rng))
                 for k, v in comps.items():
                     val_sums[k] = val_sums.get(k, 0.0) + float(v)
                 n_batches += 1
@@ -240,7 +301,7 @@ def main(_A) -> None:
 
         # Dense "climax" checkpointing in the last 20% (train.py:290-296).
         if (iteration / _C.OPTIM.NUM_ITERATIONS) > 0.8 and \
-                iteration % _A.climax_freq == 0:
+                crossed_interval(iteration, _A.climax_freq, steps_per_call):
             manager.checkpointables["state"] = state
             manager.climax_step(iteration)
 

@@ -115,6 +115,15 @@ class CheckpointManager:
         return self.checkpointables[name]
 
 
+def peek_iteration(path: str) -> int:
+    """Read only the stored iteration from a checkpoint — lets the driver
+    decide the data-curriculum phase BEFORE constructing any loader or
+    state (train.py resume path)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return int(payload.get("iteration", 0))
+
+
 def load_model_variables(path: str) -> Dict[str, Any]:
     """Load {params, batch_stats} from either a full checkpoint or a
     climax snapshot — what downstream evals consume."""
