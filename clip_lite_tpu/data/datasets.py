@@ -239,7 +239,8 @@ class CocoCaptionsDataset(CaptionDatasetBase):
     over PCIe at 1/4 the bytes, and the compiled step finishes
     augmentation on device (engine._maybe_device_preprocess).  Host-side
     color jitter / caption-aware flip word swap are not part of this path
-    (flip + jitter happen on device; hue jitter is dropped).
+    (flip + full brightness/contrast/saturation/hue jitter happen on
+    device, ops/image_ops.py — matching the host ColorJitter's laws).
     """
 
     def __init__(self, data_root: str, split: str = "train",

@@ -48,17 +48,65 @@ def random_flip(images: jax.Array, rng: jax.Array) -> jax.Array:
     return jnp.where(flips[:, None, None, None], flipped, images)
 
 
+def _rgb_to_hsv(x: jax.Array):
+    """(..., 3) RGB in [0,1] -> (h, s, v) each (...,), h in [0,1)."""
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    maxc = jnp.max(x, axis=-1)
+    minc = jnp.min(x, axis=-1)
+    v = maxc
+    c = maxc - minc
+    s = jnp.where(maxc > 0, c / jnp.maximum(maxc, 1e-12), 0.0)
+    safe_c = jnp.maximum(c, 1e-12)
+    rc = (maxc - r) / safe_c
+    gc = (maxc - g) / safe_c
+    bc = (maxc - b) / safe_c
+    h = jnp.where(maxc == r, bc - gc,
+                  jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(c > 0, (h / 6.0) % 1.0, 0.0)
+    return h, s, v
+
+
+def _hsv_to_rgb(h: jax.Array, s: jax.Array, v: jax.Array) -> jax.Array:
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+
+    def sel(a0, a1, a2, a3, a4, a5):
+        return jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4],
+                          [a0, a1, a2, a3, a4], a5)
+
+    return jnp.stack([sel(v, q, p, p, t, v),
+                      sel(t, v, v, q, p, p),
+                      sel(p, p, t, v, v, q)], axis=-1)
+
+
+def random_hue(images: jax.Array, rng: jax.Array,
+               hue: float = 0.1) -> jax.Array:
+    """Per-image hue rotation by a uniform shift in [-hue, hue] (fraction
+    of the color wheel), via an exact on-device HSV round-trip — the part
+    of the reference's ColorJitter (reference: factories.py:132-137) that
+    round 1 left host-only.  Input/output in [0,255] float."""
+    b = images.shape[0]
+    shift = jax.random.uniform(rng, (b, 1, 1), minval=-hue, maxval=hue)
+    h, s, v = _rgb_to_hsv(images.astype(jnp.float32) / 255.0)
+    rgb = _hsv_to_rgb((h + shift) % 1.0, s, v)
+    return jnp.clip(rgb * 255.0, 0.0, 255.0)
+
+
 def random_color_jitter(images: jax.Array, rng: jax.Array,
                         brightness: float = 0.4, contrast: float = 0.4,
-                        saturation: float = 0.4, p: float = 0.8) -> jax.Array:
-    """Per-image brightness/contrast/saturation jitter in [0,255] space,
-    entirely on device (elementwise + per-image scalars — VPU work).
-
-    Mirrors the host ColorJitter's factor laws (data/transforms.py) except
-    hue, which needs an HSV round-trip and stays host-side when required.
+                        saturation: float = 0.4, hue: float = 0.1,
+                        p: float = 0.8) -> jax.Array:
+    """Per-image brightness/contrast/saturation/hue jitter in [0,255]
+    space, entirely on device (elementwise + per-image scalars — VPU
+    work).  Mirrors the host ColorJitter's factor laws
+    (data/transforms.py), including the HSV hue rotation.
     """
     b = images.shape[0]
-    k_apply, k_b, k_c, k_s = jax.random.split(rng, 4)
+    k_apply, k_b, k_c, k_s, k_h = jax.random.split(rng, 5)
     x = images.astype(jnp.float32)
 
     fb = jax.random.uniform(k_b, (b, 1, 1, 1), minval=1 - brightness,
@@ -77,6 +125,9 @@ def random_color_jitter(images: jax.Array, rng: jax.Array,
     x = x * fs + gray * (1 - fs)
 
     x = jnp.clip(x, 0.0, 255.0)
+    if hue:
+        x = random_hue(x, k_h, hue)
+
     apply = jax.random.bernoulli(k_apply, p, (b, 1, 1, 1))
     return jnp.where(apply, x, images.astype(jnp.float32))
 

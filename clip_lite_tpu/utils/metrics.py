@@ -1,16 +1,19 @@
-"""Evaluation metrics: Top-k accuracy accumulator and CIDEr-D.
+"""Evaluation metrics: Top-k accuracy accumulator, CIDEr-D, and SPICE.
 
-Equivalents of the reference's utils/metrics.py: TopkAccuracy (:20-73) and
-the pure-python CIDEr scorer (:181-268).  SPICE (Java subprocess,
-reference :271-310) is intentionally not reproduced — it shells out to a
-Stanford CoreNLP jar that is not part of this environment; CIDEr is the
-primary caption metric.  Tokenization is a lightweight PTB-ish normalizer
-instead of the reference's CoreNLP Java subprocess (:129-178).
+Equivalents of the reference's utils/metrics.py: TopkAccuracy (:20-73),
+the pure-python CIDEr scorer (:181-268), and SPICE via the official Java
+scorer as a gated subprocess (reference :271-310) — it runs when a JVM +
+the spice-1.0.jar (env CLIP_LITE_SPICE_JAR) are present and reports
+``"SPICE": None`` otherwise, keeping the evaluator's two-key return
+contract machine-readable in every environment.  Tokenization is a
+lightweight PTB-ish normalizer instead of the reference's CoreNLP Java
+subprocess (:129-178).
 """
 
 from __future__ import annotations
 
 import math
+import os
 import re
 from collections import Counter, defaultdict
 from typing import Dict, List, Sequence
@@ -134,16 +137,69 @@ class CiderScorer:
         return 100.0 * float(np.mean(scores)) / 10.0
 
 
-class CocoCaptionsEvaluator:
-    """Caption evaluation harness (reference: utils/metrics.py:76-126),
-    CIDEr only (see module docstring re: SPICE)."""
+def spice_available(jar_path: str = None) -> bool:
+    """Whether the SPICE scorer can run here: a JVM on PATH plus the
+    SPICE jar (point ``CLIP_LITE_SPICE_JAR`` at spice-1.0.jar)."""
+    import shutil
 
-    def __init__(self, ground_truth: Dict[str, List[str]]):
+    jar = jar_path or os.environ.get("CLIP_LITE_SPICE_JAR", "")
+    return bool(shutil.which("java")) and os.path.isfile(jar)
+
+
+def spice_score(predictions: Dict[str, List[str]],
+                ground_truth: Dict[str, List[str]],
+                jar_path: str = None) -> float:
+    """SPICE via the official Java scorer as a subprocess
+    (reference: utils/metrics.py:271-310).  Requires a JVM and the jar
+    (CLIP_LITE_SPICE_JAR); call :func:`spice_available` first — this
+    raises RuntimeError when the toolchain is missing.
+    """
+    import json
+    import subprocess
+    import tempfile
+
+    jar = jar_path or os.environ.get("CLIP_LITE_SPICE_JAR", "")
+    if not spice_available(jar):
+        raise RuntimeError(
+            "SPICE needs a JVM and CLIP_LITE_SPICE_JAR=<spice-1.0.jar>")
+    records = [{"image_id": k, "test": predictions[k][0],
+                "refs": list(ground_truth[k])} for k in ground_truth]
+    with tempfile.TemporaryDirectory() as tmp:
+        inp = os.path.join(tmp, "in.json")
+        outp = os.path.join(tmp, "out.json")
+        cache = os.path.join(tmp, "cache")
+        os.makedirs(cache, exist_ok=True)
+        with open(inp, "w") as f:
+            json.dump(records, f)
+        subprocess.check_call(
+            ["java", "-jar", "-Xmx8G", jar, inp, "-cache", cache,
+             "-out", outp, "-subset", "-silent"])
+        with open(outp) as f:
+            results = json.load(f)
+    return float(np.mean([float(item["scores"]["All"]["f"])
+                          for item in results]))
+
+
+class CocoCaptionsEvaluator:
+    """Caption evaluation harness (reference: utils/metrics.py:76-126).
+
+    Returns ``{"CIDEr": float, "SPICE": float | None}`` — the reference
+    contract computes both; SPICE needs the Java toolchain
+    (:func:`spice_available`), and when it is absent the key is reported
+    as ``None`` (machine-readable "not computed") rather than dropped,
+    so downstream result parsing keeps working either way.
+    """
+
+    def __init__(self, ground_truth: Dict[str, List[str]],
+                 spice_jar: str = None):
         self.ground_truth = {str(k): list(v) for k, v in ground_truth.items()}
+        self.spice_jar = spice_jar
 
     def evaluate(self, preds: List[dict]) -> Dict[str, float]:
         """preds: [{"image_id": ..., "caption": str}, ...]"""
         predictions = {str(p["image_id"]): [p["caption"]] for p in preds}
         gt = {k: self.ground_truth[k] for k in predictions}
         cider = CiderScorer().compute_score(gt, predictions)
-        return {"CIDEr": cider}
+        spice = (100.0 * spice_score(predictions, gt, self.spice_jar)
+                 if spice_available(self.spice_jar) else None)
+        return {"CIDEr": cider, "SPICE": spice}

@@ -267,6 +267,28 @@ def test_cider_perfect_match_beats_mismatch():
         {"image_id": "2", "caption": "purple elephants dancing"}])
     assert good["CIDEr"] > bad["CIDEr"]
     assert bad["CIDEr"] < 5.0
+    # Two-key contract (reference utils/metrics.py:126): SPICE reported
+    # as None when the Java toolchain is absent, never dropped.
+    assert "SPICE" in good
+    from clip_lite_tpu.utils.metrics import spice_available
+    if not spice_available():
+        assert good["SPICE"] is None
+
+
+def test_spice_gating(monkeypatch, tmp_path):
+    from clip_lite_tpu.utils import metrics as M
+
+    monkeypatch.delenv("CLIP_LITE_SPICE_JAR", raising=False)
+    assert not M.spice_available()
+    with pytest.raises(RuntimeError, match="JVM"):
+        M.spice_score({"1": ["a"]}, {"1": ["a"]})
+    # jar present but (likely) no JVM, or JVM present but jar invalid:
+    # available() must require BOTH.
+    jar = tmp_path / "spice-1.0.jar"
+    jar.write_bytes(b"not a real jar")
+    import shutil
+    if shutil.which("java") is None:
+        assert not M.spice_available(str(jar))
 
 
 def test_itm_eval_perfect_embeddings():
@@ -283,3 +305,59 @@ def test_itm_eval_perfect_embeddings():
     assert res["txt_r1"] == 100.0
     assert res["img_r1"] == 100.0
     assert res["r_mean"] == 100.0
+
+
+def test_lmdb_to_clrec_migration(monkeypatch, tmp_path):
+    """Reference-LMDB -> CLRec converter, driven against a fake lmdb
+    module (the binding is absent here; the converter is its only user)."""
+    import pickle
+    import sys
+    import types
+
+    import cv2
+
+    y, x = np.mgrid[0:32, 0:48]
+    img = np.stack([y * 5 % 256, x * 4 % 256, (x + y) * 2 % 256],
+                   axis=-1).astype(np.uint8)
+    records = {
+        b"0": pickle.dumps((17, img, ["a dog", "a brown dog"])),
+        b"1": pickle.dumps((42, np.random.RandomState(1).rand(5, 768)
+                            .astype(np.float32), ["a cat"])),
+    }
+
+    class FakeTxn:
+        def get(self, key):
+            return records.get(key)
+
+    class FakeEnv:
+        def stat(self):
+            return {"entries": len(records)}
+
+        def begin(self):
+            return FakeTxn()
+
+        def close(self):
+            pass
+
+    fake = types.ModuleType("lmdb")
+    fake.open = lambda *a, **k: FakeEnv()
+    monkeypatch.setitem(sys.modules, "lmdb", fake)
+
+    from clip_lite_tpu.scripts.lmdb_to_clrec import convert
+
+    out = str(tmp_path / "mig.clrec")
+    assert convert("/nonexistent.lmdb", out) == 2
+
+    from clip_lite_tpu.data.readers import CocoCaptionsRecordReader
+
+    r = CocoCaptionsRecordReader(out)
+    assert len(r) == 2
+    rec = r[0]
+    assert rec["image_id"] == 17
+    assert rec["captions"] == ["a dog", "a brown dog"]
+    # JPEG round trip: close but lossy
+    assert rec["image"].shape == img.shape
+    assert np.mean(np.abs(rec["image"].astype(int) - img.astype(int))) < 6
+    # sbert-mode feature records stored verbatim
+    raw = r.reader[1]
+    assert raw["image"].shape == (5, 768)

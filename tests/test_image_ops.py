@@ -69,3 +69,46 @@ def test_device_preprocess_end_to_end():
     assert out.shape == (4, 8, 8, 3)
     assert out.dtype == jnp.float32
     assert abs(float(jnp.mean(out))) < 1.0  # roughly centered
+
+
+def test_hsv_round_trip_identity():
+    from clip_lite_tpu.ops.image_ops import _hsv_to_rgb, _rgb_to_hsv
+
+    rgb = jnp.asarray(
+        np.random.RandomState(5).rand(32, 4, 4, 3), jnp.float32)
+    h, s, v = _rgb_to_hsv(rgb)
+    back = _hsv_to_rgb(h, s, v)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-5)
+
+
+def test_rgb_to_hsv_matches_colorsys():
+    import colorsys
+
+    from clip_lite_tpu.ops.image_ops import _rgb_to_hsv
+
+    pix = np.random.RandomState(6).rand(50, 3).astype(np.float32)
+    h, s, v = _rgb_to_hsv(jnp.asarray(pix))
+    for i in range(50):
+        eh, es, ev = colorsys.rgb_to_hsv(*pix[i])
+        assert abs(float(h[i]) - eh) < 1e-5
+        assert abs(float(s[i]) - es) < 1e-5
+        assert abs(float(v[i]) - ev) < 1e-5
+
+
+def test_random_hue_zero_shift_is_identity_and_rotates():
+    from clip_lite_tpu.ops.image_ops import random_hue
+
+    imgs = jnp.asarray(
+        np.random.RandomState(7).randint(0, 256, (8, 6, 6, 3), np.uint8))
+    out0 = random_hue(imgs.astype(jnp.float32), jax.random.PRNGKey(0),
+                      hue=0.0)
+    np.testing.assert_allclose(np.asarray(out0),
+                               np.asarray(imgs, np.float32), atol=0.51)
+    out = random_hue(imgs.astype(jnp.float32), jax.random.PRNGKey(0),
+                     hue=0.4)
+    # hue rotation preserves value = max channel per pixel
+    np.testing.assert_allclose(
+        np.asarray(jnp.max(out, -1)),
+        np.asarray(jnp.max(imgs, -1), np.float32), atol=0.6)
+    # ...but moves mass between channels
+    assert float(jnp.abs(out - imgs.astype(jnp.float32)).mean()) > 1.0
