@@ -14,6 +14,8 @@ from clip_lite_tpu.models.bert import (
     masked_mean_pooling,
 )
 
+pytestmark = pytest.mark.slow  # compile/parity heavy; fast loop: -m 'not slow'
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

@@ -20,6 +20,9 @@ from clip_lite_tpu.factories import (
 )
 from clip_lite_tpu.parallel import create_mesh, shard_batch
 
+pytestmark = pytest.mark.slow  # compile/parity heavy; fast loop: -m 'not slow'
+
+
 TINY = [
     "MODEL.VISUAL.NETWORK_NAME", "resnet18",
     "MODEL.VISUAL.FEATURE_SIZE", 512,

@@ -11,6 +11,9 @@ from clip_lite_tpu.config import Config
 from clip_lite_tpu.factories import PretrainingModelFactory
 from clip_lite_tpu.models.pretrained import apply_pretrained_weights
 
+pytestmark = pytest.mark.slow  # compile/parity heavy; fast loop: -m 'not slow'
+
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

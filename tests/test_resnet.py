@@ -10,6 +10,9 @@ import jax.numpy as jnp
 from clip_lite_tpu.models import resnet as R
 from clip_lite_tpu.models.image_encoder import ImageEncoder
 
+pytestmark = pytest.mark.slow  # compile/parity heavy; fast loop: -m 'not slow'
+
+
 # Published torchvision classification-model parameter counts (with the
 # 1000-way fc). Structural golden values — if the architecture is right,
 # these match exactly.

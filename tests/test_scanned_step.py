@@ -1,6 +1,8 @@
 """Scanned multi-step training: K steps per compiled call must advance the
 state identically to K single-step calls."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -15,6 +17,9 @@ from clip_lite_tpu.engine import (
 from clip_lite_tpu.factories import OptimizerFactory, PretrainingModelFactory
 from clip_lite_tpu.parallel import create_mesh, shard_batch
 from clip_lite_tpu.parallel.mesh import shard_stacked_batch
+
+pytestmark = pytest.mark.slow  # compile/parity heavy; fast loop: -m 'not slow'
+
 
 TINY = [
     "MODEL.VISUAL.NETWORK_NAME", "zoo::resnet8",

@@ -8,6 +8,9 @@ import jax.numpy as jnp
 
 from clip_lite_tpu.models.text_encoder import TextEncoder
 
+pytestmark = pytest.mark.slow  # compile/parity heavy; fast loop: -m 'not slow'
+
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

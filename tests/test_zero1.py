@@ -20,6 +20,8 @@ from clip_lite_tpu.parallel.zero1 import (
     create_zero1_opt_state,
 )
 
+pytestmark = pytest.mark.slow  # compile/parity heavy; fast loop: -m 'not slow'
+
 TINY = [
     "MODEL.VISUAL.NETWORK_NAME", "zoo::resnet8",
     "MODEL.VISUAL.FEATURE_SIZE", 64,

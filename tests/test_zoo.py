@@ -9,6 +9,9 @@ import jax.numpy as jnp
 
 from clip_lite_tpu.models import zoo
 
+pytestmark = pytest.mark.slow  # compile/parity heavy; fast loop: -m 'not slow'
+
+
 BACKBONES = [
     ("resnet8", 64), ("resnet20", 64), ("resnet110", 64),
     ("resnet8x4", 256), ("resnet32x4", 256),
