@@ -114,8 +114,20 @@ def make_train_step(model, tx, data_axis: str = "data") -> Callable:
             components = lax.pmean(components, data_axis)
             new_stats = lax.pmean(new_stats, data_axis)
 
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        from clip_lite_tpu.optim.fused import FusedOptimizer
+
+        if isinstance(tx, FusedOptimizer):
+            # Single fused traversal returns the new params directly and
+            # reuses the clip norm as the grad_norm metric (the chain
+            # path below pays a second full pass for it).
+            new_params, new_opt_state, grad_norm = tx.apply(
+                grads, state.opt_state, state.params)
+        else:
+            updates, new_opt_state = tx.update(
+                grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p + u,
+                                      state.params, updates)
+            grad_norm = optax_global_norm(grads)
 
         new_state = state.replace(
             step=state.step + 1,
@@ -124,7 +136,7 @@ def make_train_step(model, tx, data_axis: str = "data") -> Callable:
             opt_state=new_opt_state,
         )
         metrics = dict(components)
-        metrics["grad_norm"] = optax_global_norm(grads)
+        metrics["grad_norm"] = grad_norm
         return new_state, metrics
 
     return train_step

@@ -157,6 +157,13 @@ class OptimizerFactory(Factory):
 
     @classmethod
     def from_config(cls, config: Config, schedule_fn=None) -> Any:
+        if config.OPTIM.FUSED:
+            # Single-pass fused update (optim/fused.py): same math, one
+            # kernel per leaf instead of one per chain stage — the optax
+            # chain measured 20.8 ms/step standalone on the flagship tree.
+            from clip_lite_tpu.optim.fused import build_fused_optimizer
+
+            return build_fused_optimizer(config, schedule_fn=schedule_fn)
         from clip_lite_tpu.optim import build_optimizer
 
         return build_optimizer(config, schedule_fn=schedule_fn)

@@ -101,21 +101,23 @@ class BertLayer(nn.Module):
                             param_dtype=jnp.float32, name="attn_out")(ctx)
         attn_out = nn.Dropout(self.dropout_rate,
                               deterministic=deterministic)(attn_out)
-        x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32,
+        # LayerNorm/gelu stay in the compute dtype: flax computes LN
+        # statistics in fp32 internally, so there is no precision loss in
+        # the reductions — only the (bandwidth-dominated) elementwise tail
+        # runs in bf16, avoiding a fp32 round-trip per residual join.
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
                          param_dtype=jnp.float32, name="attn_ln")(
-            (x + attn_out).astype(jnp.float32)).astype(self.dtype)
+            xin + attn_out)
 
         inter = nn.Dense(self.intermediate_size, kernel_init=bert_dense_init,
                          dtype=self.dtype, param_dtype=jnp.float32,
                          name="intermediate")(x)
-        inter = nn.gelu(inter.astype(jnp.float32),
-                        approximate=False).astype(self.dtype)
+        inter = nn.gelu(inter, approximate=False)
         out = nn.Dense(h, kernel_init=bert_dense_init, dtype=self.dtype,
                        param_dtype=jnp.float32, name="output")(inter)
         out = nn.Dropout(self.dropout_rate, deterministic=deterministic)(out)
-        x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32,
-                         param_dtype=jnp.float32, name="out_ln")(
-            (x + out).astype(jnp.float32)).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="out_ln")(x + out)
         return x
 
 

@@ -1,0 +1,148 @@
+"""Single-pass fused optimizer: the whole update pipeline in one
+tree_map (one XLA kernel per parameter leaf).
+
+The composable optax chain (optim/__init__.py) is semantically right but
+expensive on TPU: clip -> weight-decay -> momentum -> LR scale ->
+Lookahead -> ``p + u`` is ~6 passes over every one of the ~450 leaves of
+the flagship tree — thousands of small kernels whose fixed launch
+overhead dominates (measured: 20.8 ms/step standalone for 161M params on
+v5e, ~5x the HBM-bandwidth cost of the arithmetic).  This module emits
+the SAME math (reference ordering: train.py:218-226 — unscale/clip ->
+SGD or AdamW step with per-group LR -> Lookahead interpolation every k)
+as a single fused traversal returning the new parameters directly:
+
+    read  g, p, trace, slow        (4 arrays)
+    write p', trace', slow'        (3 arrays)
+
+plus one global-norm pass over the gradients (which also serves the
+engine's grad_norm metric, previously a second full traversal).
+
+Step-exactness against the optax chain is covered by
+tests/test_optim.py::test_fused_matches_chain*.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from clip_lite_tpu.optim import _path_str, make_lr_tree_fn
+
+
+class FusedOptState(NamedTuple):
+    trace: Any               # SGD momentum buffer / Adam mu
+    nu: Any                  # Adam second moment (empty dict for SGD)
+    slow_params: Any         # Lookahead slow weights (empty dict if off)
+    count: jnp.ndarray       # schedule step counter
+    la_count: jnp.ndarray    # lookahead counter
+
+
+class FusedOptimizer(NamedTuple):
+    """init/apply pair; ``apply`` returns new params directly."""
+
+    init: Callable[[Any], FusedOptState]
+    apply: Callable[..., tuple]  # (grads, state, params) ->
+    #                              (new_params, new_state, grad_norm)
+
+
+def build_fused_optimizer(config, schedule_fn=None) -> FusedOptimizer:
+    import re
+
+    from clip_lite_tpu.factories import LRSchedulerFactory
+
+    _C = config
+    if schedule_fn is None:
+        schedule_fn = LRSchedulerFactory.from_config(_C)
+
+    opt_name = _C.OPTIM.OPTIMIZER_NAME
+    momentum = _C.OPTIM.SGD_MOMENTUM
+    clip_norm = _C.OPTIM.CLIP_GRAD_NORM
+    wd = _C.OPTIM.WEIGHT_DECAY
+    la_use = _C.OPTIM.LOOKAHEAD.USE
+    la_k = _C.OPTIM.LOOKAHEAD.STEPS
+    la_alpha = _C.OPTIM.LOOKAHEAD.ALPHA
+    lr_for = make_lr_tree_fn(_C.OPTIM.CNN_LR, _C.OPTIM.TRANS_LR, _C.OPTIM.LR)
+    no_decay_re = re.compile(_C.OPTIM.NO_DECAY) if _C.OPTIM.NO_DECAY else None
+    if opt_name not in ("sgd", "adamw"):
+        raise KeyError(f"Unknown optimizer {opt_name!r}")
+    adam = opt_name == "adamw"
+
+    def _hyper(path: str):
+        decays = not (no_decay_re and no_decay_re.match(path))
+        return lr_for(path), (wd if decays else 0.0)
+
+    def init(params) -> FusedOptState:
+        zeros = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+        return FusedOptState(
+            trace=zeros,
+            nu=(jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+                if adam else {}),
+            slow_params=(jax.tree.map(jnp.asarray, params) if la_use else {}),
+            count=jnp.zeros([], jnp.int32),
+            la_count=jnp.zeros([], jnp.int32),
+        )
+
+    def apply(grads, state: FusedOptState, params):
+        # Global-norm clip (optax.clip_by_global_norm semantics), one pass.
+        gnorm = jnp.sqrt(sum(
+            jnp.sum(jnp.square(g.astype(jnp.float32)))
+            for g in jax.tree.leaves(grads)))
+        if clip_norm and clip_norm > 0:
+            scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-16))
+        else:
+            scale = jnp.float32(1.0)
+
+        mult = schedule_fn(state.count)
+        la_count = state.la_count + 1
+        sync = (la_count % la_k == 0) if la_use else False
+
+        def leaf(path, g, p, t, nu, slow):
+            lr, wd_i = _hyper(path)
+            g = g.astype(jnp.float32) * scale
+            if adam:
+                b1, b2, eps = 0.9, 0.999, 1e-8
+                mu_new = b1 * t + (1 - b1) * g
+                nu_new = b2 * nu + (1 - b2) * g * g
+                c = (state.count + 1).astype(jnp.float32)
+                mu_hat = mu_new / (1 - b1 ** c)
+                nu_hat = nu_new / (1 - b2 ** c)
+                step_dir = mu_hat / (jnp.sqrt(nu_hat) + eps) + wd_i * p
+                t_new = mu_new
+            else:
+                g = g + wd_i * p  # coupled L2, like torch SGD
+                t_new = momentum * t + g if momentum else g
+                nu_new = nu
+                step_dir = t_new
+            fast = p - (lr * mult) * step_dir
+            if la_use:
+                synced = slow + la_alpha * (fast - slow)
+                new_p = jnp.where(sync, synced, fast)
+                new_slow = jnp.where(sync, synced, slow)
+            else:
+                new_p, new_slow = fast, slow
+            return new_p.astype(p.dtype), t_new, nu_new, new_slow
+
+        flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+        paths = [_path_str(kp) for kp, _ in flat]
+        g_leaves = jax.tree.leaves(grads)
+        t_leaves = jax.tree.leaves(state.trace)
+        nu_leaves = (jax.tree.leaves(state.nu) if adam
+                     else [0.0] * len(paths))
+        slow_leaves = (jax.tree.leaves(state.slow_params) if la_use
+                       else [0.0] * len(paths))
+        outs = [leaf(path, g, p, t, nu, slow)
+                for path, (_, p), g, t, nu, slow in zip(
+                    paths, flat, g_leaves, t_leaves, nu_leaves, slow_leaves)]
+        unflatten = treedef.unflatten
+        new_params = unflatten([o[0] for o in outs])
+        new_trace = unflatten([o[1] for o in outs])
+        new_nu = unflatten([o[2] for o in outs]) if adam else {}
+        new_slow = unflatten([o[3] for o in outs]) if la_use else {}
+        new_state = FusedOptState(
+            trace=new_trace, nu=new_nu, slow_params=new_slow,
+            count=state.count + 1, la_count=la_count)
+        return new_params, new_state, gnorm
+
+    return FusedOptimizer(init=init, apply=apply)

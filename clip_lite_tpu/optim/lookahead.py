@@ -64,11 +64,18 @@ def lookahead(inner: optax.GradientTransformation, k: int = 5,
 def slow_params_from_state(opt_state) -> Optional[optax.Params]:
     """Extract Lookahead slow weights for evaluation (the reference's
     ``load_slow_weights``, optim/lookahead.py:103-116).  Returns None if no
-    LookaheadState is present in the (possibly nested) optimizer state."""
+    Lookahead state is present (handles both the optax-chain
+    LookaheadState and the fused optimizer's FusedOptState)."""
+    from clip_lite_tpu.optim.fused import FusedOptState
+
     found = []
 
     def visit(s):
         if isinstance(s, LookaheadState):
+            found.append(s.slow_params)
+        elif isinstance(s, FusedOptState):
+            if isinstance(s.slow_params, dict) and not s.slow_params:
+                return  # lookahead disabled
             found.append(s.slow_params)
         elif isinstance(s, tuple):
             for item in s:

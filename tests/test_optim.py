@@ -187,3 +187,62 @@ def test_unknown_optimizer_rejected():
     cfg = Config(override_list=["OPTIM.OPTIMIZER_NAME", "rmsprop"])
     with pytest.raises(KeyError):
         build_optimizer(cfg)
+
+
+# ---------------------------------------------------------------------------
+# Fused single-pass optimizer vs the composable optax chain
+# ---------------------------------------------------------------------------
+
+def _fused_case(opt_name, lookahead_on, steps=7):
+    from clip_lite_tpu.optim.fused import build_fused_optimizer
+
+    cfg = Config(override_list=[
+        "OPTIM.OPTIMIZER_NAME", opt_name,
+        "OPTIM.LOOKAHEAD.USE", lookahead_on,
+        "OPTIM.LOOKAHEAD.STEPS", 3,
+        "OPTIM.WARMUP_STEPS", 2, "OPTIM.NUM_ITERATIONS", 50,
+        "OPTIM.CLIP_GRAD_NORM", 1.0,
+        "OPTIM.WEIGHT_DECAY", 1e-4,
+    ])
+    rng = np.random.RandomState(0)
+    params = {
+        "image_encoder": {"w": jnp.asarray(rng.randn(8, 16), jnp.float32)},
+        "text_encoder": {"w": jnp.asarray(rng.randn(4, 4), jnp.float32)},
+        "loss": {"temperature": jnp.asarray(2.65926, jnp.float32)},
+    }
+    chain = build_optimizer(cfg)
+    fused = build_fused_optimizer(cfg)
+    cs, fs = chain.init(params), fused.init(params)
+    cp, fp = params, params
+    for i in range(steps):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                np.random.RandomState(100 + i).randn(*p.shape) *
+                (3.0 if i == 0 else 0.1), jnp.float32), cp)
+        updates, cs = chain.update(grads, cs, cp)
+        cp = jax.tree.map(lambda p, u: p + u, cp, updates)
+        fp, fs, gnorm = fused.apply(grads, fs, fp)
+        assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+        for a, b in zip(jax.tree.leaves(cp), jax.tree.leaves(fp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+    return cp, fp, fs
+
+
+@pytest.mark.parametrize("opt_name", ["sgd", "adamw"])
+def test_fused_matches_chain(opt_name):
+    """Fused single-pass update is step-exact vs the optax chain,
+    including a Lookahead sync step (k=3 inside 7 steps) and a
+    clip-active first step (grad scale 3x with clip 1.0)."""
+    _fused_case(opt_name, lookahead_on=True)
+
+
+def test_fused_matches_chain_no_lookahead():
+    _fused_case("sgd", lookahead_on=False)
+
+
+def test_fused_slow_params_accessible():
+    _, _, fs = _fused_case("sgd", lookahead_on=True)
+    slow = slow_params_from_state(fs)
+    assert slow is not None
+    assert "image_encoder" in slow
