@@ -75,6 +75,9 @@ def _measure(per_chip_batch: int, steps_per_call: int = 1) -> dict:
         "OPTIM.WARMUP_STEPS", 10, "OPTIM.NUM_ITERATIONS", 1000,
         "MODEL.LOSS.NEGATIVES", "global",
     ])
+    from clip_lite_tpu.utils.common import apply_rng_impl
+
+    apply_rng_impl(cfg)  # rbg bit generation (config default)
     model = PretrainingModelFactory.from_config(cfg)
     tx = OptimizerFactory.from_config(cfg)
 
@@ -124,8 +127,138 @@ def _measure(per_chip_batch: int, steps_per_call: int = 1) -> dict:
     }
 
 
+def _make_bench_clrec(root: str, n: int = 1024, w: int = 640,
+                      h: int = 480) -> None:
+    """Write a COCO-shaped CLRec of JPEG-encoded synthetic photos
+    (realistic decode cost) for the end-to-end input-pipeline bench."""
+    import os
+
+    import cv2
+    import numpy as np
+
+    from clip_lite_tpu.data.readers import ClRecWriter
+
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "coco_train_train_sbert2017.clrec")
+    if os.path.exists(path):
+        return
+    rng = np.random.RandomState(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    with ClRecWriter(path) as wtr:
+        for i in range(n):
+            # Smooth structured content (JPEG-typical entropy, not noise).
+            a, b, c = rng.randint(2, 9, 3)
+            img = np.stack([
+                (127 + 120 * np.sin(xx / (20.0 * a) + i)).astype(np.uint8),
+                (127 + 120 * np.sin(yy / (15.0 * b))).astype(np.uint8),
+                (127 + 120 * np.sin((xx + yy) / (25.0 * c))).astype(np.uint8),
+            ], axis=-1)
+            ok, buf = cv2.imencode(".jpg", img,
+                                   [int(cv2.IMWRITE_JPEG_QUALITY), 90])
+            assert ok
+            wtr.append({"image_id": i, "image": buf.tobytes(),
+                        "captions": [f"a photo of pattern {i}",
+                                     f"synthetic scene number {i}"]})
+
+
+def _measure_real_data(per_chip_batch: int = 128,
+                       steps: int = 40) -> dict:
+    """End-to-end throughput with the host input pipeline in the loop:
+    CLRec JPEG records -> (native or Python) decode/crop -> uint8 batches
+    -> device augment+normalize -> full train step.  Quantifies the
+    input-bound gap vs the device-resident compute benchmark
+    (round-1 VERDICT weak #5)."""
+    import os
+    import time
+
+    import jax
+
+    from clip_lite_tpu.config import Config
+    from clip_lite_tpu.data.pipeline import DataLoader, infinite_batches
+    from clip_lite_tpu.engine import compile_train_step, create_train_state
+    from clip_lite_tpu.factories import (
+        OptimizerFactory,
+        PretrainingDatasetFactory,
+        PretrainingModelFactory,
+    )
+    from clip_lite_tpu.parallel import create_mesh, shard_batch
+    from clip_lite_tpu.utils.common import apply_rng_impl
+
+    devices = jax.devices()
+    batch_size = per_chip_batch * len(devices)
+    root = "/tmp/clip_lite_bench_data"
+    _make_bench_clrec(root)
+
+    cfg = Config(override_list=[
+        "MODEL.NAME", "captions", "DATA.NAME", "train_sbert",
+        "DATA.ROOT", root, "DATA.NATIVE_PIPELINE", True,
+        "MODEL.VISUAL.NETWORK_NAME", "resnet50",
+        "MODEL.VISUAL.FEATURE_SIZE", 2048,
+        "MODEL.TEXTUAL.NUM_HIDDEN_LAYERS", 12,
+        "OPTIM.BATCH_SIZE", batch_size,
+        "OPTIM.WARMUP_STEPS", 10, "OPTIM.NUM_ITERATIONS", 1000,
+        "MODEL.LOSS.NEGATIVES", "global",
+    ])
+    apply_rng_impl(cfg)
+    dataset = PretrainingDatasetFactory.from_config(cfg, split="train")
+    mesh = create_mesh(data_axis="data")
+    put = lambda b: shard_batch(b, mesh, "data")
+    n_workers = os.cpu_count() or 1
+    loader = DataLoader(dataset, batch_size, shuffle=True, drop_last=True,
+                        num_workers=n_workers, seed=0, prefetch=2,
+                        device_put_fn=put, background=True)
+    batches = infinite_batches(loader, 0)
+
+    # Host-only rate first (no device work): attributes the bottleneck.
+    next(batches)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        next(batches)
+    host_rate = 10 * batch_size / (time.perf_counter() - t0)
+
+    model = PretrainingModelFactory.from_config(cfg)
+    tx = OptimizerFactory.from_config(cfg)
+    first = next(batches)
+    state = create_train_state(model, tx, jax.device_get(first))
+    step = compile_train_step(model, tx, mesh, "data", donate=True)
+    key = jax.random.PRNGKey(0)
+
+    batch = first
+    for _ in range(3):  # warmup/compile
+        state, metrics = step(state, batch, key)
+        batch = next(batches)
+    _ = float(metrics["total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, batch, key)
+        batch = next(batches)  # overlaps with the device step
+    _ = float(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+    e2e = steps * batch_size / dt
+    return {
+        "metric": "flagship_real_data_throughput",
+        "value": round(e2e / len(devices), 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(e2e / len(devices) / (0.9 * peak_tflops(
+            devices[0]) * 1e3 / FLAGSHIP_TRAIN_GFLOPS_PER_IMAGE), 4),
+        "host_pipeline_rate": round(host_rate, 1),
+        "host_workers": n_workers,
+        "per_chip_batch": per_chip_batch,
+    }
+
+
 def main() -> None:
     import sys
+
+    if "--real-data" in sys.argv:
+        try:
+            print(json.dumps(_measure_real_data()))
+        except Exception as e:
+            print(json.dumps({
+                "metric": "flagship_real_data_throughput", "value": 0.0,
+                "unit": "images/sec/chip", "vs_baseline": 0.0,
+                "error": f"{type(e).__name__}: {e}"[:200]}))
+        return
 
     last_err = None
     for per_chip_batch in (128, 64):

@@ -197,6 +197,13 @@ class Config:
         _C.AMP = True
         # Compute dtype when AMP is on: {"bfloat16", "float32"}.
         _C.DTYPE = "bfloat16"
+        # Device PRNG implementation for dropout/prior-noise streams:
+        # "rbg" (XLA RngBitGenerator — measured 6% faster full-step on
+        # v5e: the flagship draws ~50 dropout masks/step and threefry's
+        # bit generation is ALU-bound) or "threefry" (JAX's default;
+        # identical draws across backends/versions). Training statistics
+        # are equivalent either way; draws differ between the two.
+        _C.RNG_IMPL = "rbg"
         # Kept for config-file compatibility with the reference
         # (config.py:49-54); no-ops on TPU.
         _C.CUDNN_DETERMINISTIC = False
