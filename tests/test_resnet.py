@@ -132,3 +132,39 @@ def test_vgg19_emits_1000d():
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
     out = m.apply(v, jnp.ones((1, 64, 64, 3)), train=False)
     assert out.shape == (1, 1000)
+
+
+def test_d2_export_key_contract():
+    """Pin the FULL Detectron2 key set for the resnet50 export so the
+    emitted .pkl provably matches D2's R50-C4 backbone expectation
+    (docs/DETECTRON2.md; reference renaming at encoder.py:84-112)."""
+    from clip_lite_tpu.models.image_encoder import (
+        detectron2_backbone_state_dict,
+    )
+    from clip_lite_tpu.models.resnet import resnet50
+
+    model = resnet50()
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 64, 3)), train=False)
+    d2 = detectron2_backbone_state_dict(
+        {"params": v["params"], "batch_stats": v["batch_stats"]}, "resnet50")
+    got = set(d2["model"].keys())
+
+    def convbn(prefix):
+        return {f"{prefix}.weight", f"{prefix}.norm.weight",
+                f"{prefix}.norm.bias", f"{prefix}.norm.running_mean",
+                f"{prefix}.norm.running_var"}
+
+    expected = convbn("stem.conv1")
+    for stage, blocks in zip(range(2, 6), (3, 4, 6, 3)):
+        for blk in range(blocks):
+            for ci in (1, 2, 3):
+                expected |= convbn(f"res{stage}.{blk}.conv{ci}")
+            if blk == 0:
+                expected |= convbn(f"res{stage}.{blk}.shortcut")
+    assert got == expected, (sorted(got - expected)[:5],
+                             sorted(expected - got)[:5])
+    # D2 loads fp32 ndarrays in torch (out,in,kh,kw) conv layout.
+    w = d2["model"]["res2.0.conv3.weight"]
+    assert w.shape == (256, 64, 1, 1) and w.dtype == np.float32
+    assert d2["model"]["stem.conv1.weight"].shape == (64, 3, 7, 7)
