@@ -69,9 +69,10 @@ class BertLayer(nn.Module):
     attention_dropout: float = 0.1
     layer_norm_eps: float = 1e-12
     dtype: Any = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
-    def __call__(self, x, attn_bias, deterministic=True):
+    def __call__(self, x, mask_bias, deterministic=True):
         h = self.hidden_size
         nh = self.num_heads
         hd = h // nh
@@ -81,21 +82,34 @@ class BertLayer(nn.Module):
         # Fused QKV: one (H, 3H) GEMM.
         qkv = nn.Dense(3 * h, kernel_init=bert_dense_init, dtype=self.dtype,
                        param_dtype=jnp.float32, name="qkv")(xin)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, s, nh, hd)
-        k = k.reshape(b, s, nh, hd)
-        v = v.reshape(b, s, nh, hd)
+        if self.fused_attention:
+            # One Pallas kernel per direction: scores+mask+softmax+dropout+
+            # context, flash-style recompute backward, on-core PRNG
+            # (ops/attention.py — the ~9 ms/step XLA kernel-count tax).
+            from clip_lite_tpu.ops.attention import fused_short_attention
 
-        # Scores in fp32 for stable softmax.
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(hd) + attn_bias
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-        probs = nn.Dropout(self.attention_dropout,
-                           deterministic=deterministic)(probs)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(self.dtype), v,
-                         preferred_element_type=self.dtype)
-        ctx = ctx.reshape(b, s, h)
+            rate = self.attention_dropout
+            rng = (self.make_rng("dropout")
+                   if not deterministic and rate > 0.0 else None)
+            ctx = fused_short_attention(
+                qkv, mask_bias, nh, dropout_rate=rate, dropout_rng=rng,
+                deterministic=deterministic)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(b, s, nh, hd)
+            k = k.reshape(b, s, nh, hd)
+            v = v.reshape(b, s, nh, hd)
+
+            # Scores in fp32 for stable softmax.
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / math.sqrt(hd) + mask_bias[:, None, None, :]
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            probs = nn.Dropout(self.attention_dropout,
+                               deterministic=deterministic)(probs)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(self.dtype), v,
+                             preferred_element_type=self.dtype)
+            ctx = ctx.reshape(b, s, h)
 
         attn_out = nn.Dense(h, kernel_init=bert_dense_init, dtype=self.dtype,
                             param_dtype=jnp.float32, name="attn_out")(ctx)
@@ -135,6 +149,7 @@ class BertModel(nn.Module):
     layer_norm_eps: float = 1e-12
     dtype_name: str = "float32"
     add_pooler: bool = True
+    fused_attention: str = "auto"  # "auto" = Pallas kernel on TPU backends
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
@@ -143,8 +158,12 @@ class BertModel(nn.Module):
         if attention_mask is None:
             attention_mask = jnp.ones_like(input_ids)
         # Additive bias: 0 on real tokens, large negative on padding.
-        attn_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32))
-        attn_bias = attn_bias * jnp.finfo(jnp.float32).min * 0.5
+        mask_bias = (1.0 - attention_mask.astype(jnp.float32)) * (
+            jnp.finfo(jnp.float32).min * 0.5)
+        if self.fused_attention == "auto":
+            fused = jax.default_backend() == "tpu"
+        else:
+            fused = bool(self.fused_attention)
 
         x = BertEmbeddings(
             vocab_size=self.vocab_size, hidden_size=self.hidden_size,
@@ -161,7 +180,8 @@ class BertModel(nn.Module):
                 dropout_rate=self.dropout_rate,
                 attention_dropout=self.dropout_rate,
                 layer_norm_eps=self.layer_norm_eps, dtype=dtype,
-                name=f"layer_{i}")(x, attn_bias, deterministic)
+                fused_attention=fused,
+                name=f"layer_{i}")(x, mask_bias, deterministic)
 
         sequence_output = x.astype(jnp.float32)
         pooled = None

@@ -73,6 +73,71 @@ class ConvBN(nn.Module):
         return x
 
 
+def _space_to_depth_nhwc(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C) with channel order (di, dj, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _space_to_depth_kernel(k: jax.Array) -> jax.Array:
+    """Rewrite a (7,7,Cin,Cout) stride-2 stem kernel for 2x2 space-to-depth
+    input: zero-pad the leading row/col to (8,8) and fold the 2x2 phase into
+    the input channels -> (4,4,4*Cin,Cout).  Mathematically exact (MLPerf
+    ResNet trick): output(i,j) of conv7x7/s2/pad3 covers input rows
+    2i-3..2i+3, i.e. s2d rows i-2..i+1 — a 4x4/s1 window with pad (2,1)."""
+    k = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    kh, kw, ci, co = k.shape
+    k = k.reshape(kh // 2, 2, kw // 2, 2, ci, co)
+    k = k.transpose(0, 2, 1, 3, 4, 5)
+    return k.reshape(kh // 2, kw // 2, 4 * ci, co)
+
+
+class _ConvKernel(nn.Module):
+    """Bare conv-kernel parameter holder so the space-to-depth stem keeps
+    the exact param path (``stem/conv/kernel``) of the plain ``ConvBN``."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("kernel", conv_kernel_init, self.shape,
+                          jnp.float32)
+
+
+class SpaceToDepthStem(nn.Module):
+    """The ResNet stem conv computed in space-to-depth form.
+
+    Declares the identical (7,7,Cin,64) parameter at the identical path as
+    the plain stem (so torch import/export, checkpoints, and the
+    Detectron2 export are all unaffected) but computes the equivalent
+    4x4/s1 convolution over the 2x2 space-to-depth input — the 7x7/s2
+    3-channel form underutilizes the MXU (im2col depth 147 with C=3) and
+    its backward is stride-dilated.  Measured ~0.5 ms/step faster on TPU
+    v5e at bs128 (perf_probe5).
+    """
+
+    features: int = 64
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = _ConvKernel((7, 7, cin, self.features), name="conv")()
+        xs = _space_to_depth_nhwc(x.astype(self.dtype))
+        ks = _space_to_depth_kernel(kernel).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            xs, ks, (1, 1), [(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=jnp.float32,
+            axis_name=self.bn_axis_name, name="bn")(y)
+        return y
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs + identity/projection shortcut (resnet18/34)."""
 
@@ -134,6 +199,7 @@ class ResNet(nn.Module):
     dtype_name: str = "float32"
     bn_axis_name: Optional[str] = None
     remat: bool = False
+    space_to_depth: bool = True  # exact-math stem rewrite (see SpaceToDepthStem)
 
     @property
     def feature_size(self) -> int:
@@ -143,10 +209,17 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         dtype = jnp.bfloat16 if self.dtype_name == "bfloat16" else jnp.float32
-        # Stem: 7x7/s2 + BN/ReLU + 3x3/s2 maxpool.
-        x = ConvBN(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
-                   dtype=dtype, bn_axis_name=self.bn_axis_name,
-                   name="stem")(x, train)
+        # Stem: 7x7/s2 + BN/ReLU + 3x3/s2 maxpool.  When the spatial dims
+        # are even (always, for the 224/crop sizes used here) the stem conv
+        # runs in its exact space-to-depth form.
+        if self.space_to_depth and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = SpaceToDepthStem(64, dtype=dtype,
+                                 bn_axis_name=self.bn_axis_name,
+                                 name="stem")(x, train)
+        else:
+            x = ConvBN(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+                       dtype=dtype, bn_axis_name=self.bn_axis_name,
+                       name="stem")(x, train)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 

@@ -52,6 +52,14 @@ def apply_platform_args(args) -> None:
         jax.config.update("jax_platforms", args.platform)
     if args.virtual_devices and args.platform == "cpu":
         jax.config.update("jax_num_cpu_devices", args.virtual_devices)
+    # Persistent compilation cache: the training step contains Pallas
+    # (Mosaic) kernels whose first compile costs minutes through the
+    # remote-compile tunnel; cached recompiles are sub-second.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       "/tmp/clip_lite_jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def common_setup(config, args, job_type: str = "pretrain") -> logging.Logger:

@@ -123,6 +123,27 @@ def test_detectron2_export_keys():
     assert not any("layer" in k or "downsample" in k for k in keys)
 
 
+def test_space_to_depth_stem_exact():
+    """The space-to-depth stem (MLPerf trick, default on) must be
+    mathematically identical to the plain 7x7/s2 stem: same param tree,
+    same forward output (fp32, up to summation-order noise)."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    plain = R.resnet18(space_to_depth=False)
+    s2d = R.resnet18(space_to_depth=True)
+    v = plain.init(jax.random.PRNGKey(0), x, train=False)
+    # Identical param/stat trees: the s2d variant loads the plain one's.
+    v2 = s2d.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.structure(v) == jax.tree.structure(v2)
+    out_plain = plain.apply(v, x, train=False)
+    out_s2d = s2d.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_s2d),
+                               rtol=2e-5, atol=2e-5)
+    # Odd spatial input falls back to the plain stem (no crash).
+    x_odd = jax.random.normal(jax.random.PRNGKey(2), (1, 63, 63, 3))
+    v_odd = s2d.init(jax.random.PRNGKey(0), x_odd, train=False)
+    assert s2d.apply(v_odd, x_odd, train=False).shape == (1, 512)
+
+
 def test_vgg19_emits_1000d():
     """Reference quirk: VGG keeps its classifier (encoder.py:41 sets .fc
     which VGG ignores), so the tower emits 1000-d."""
