@@ -78,7 +78,8 @@ class CaptionDatasetBase(Dataset):
                  tokenizer_name: str = "bert-base-uncased",
                  visual_self_supervised: bool = False,
                  textual_self_supervised: bool = False,
-                 word_dict_path: Optional[str] = None):
+                 word_dict_path: Optional[str] = None,
+                 vocab_size: Optional[int] = None):
         self.mode = mode
         self.image_transform = image_transform or T.DEFAULT_IMAGE_TRANSFORM
         self.max_caption_length = max_caption_length
@@ -103,7 +104,8 @@ class CaptionDatasetBase(Dataset):
             ])
         elif mode in ("train_sbert", "sbert"):
             self.tokenizer = get_hf_tokenizer(
-                tokenizer_name, max_length=max_caption_length)
+                tokenizer_name, max_length=max_caption_length,
+                vocab_size=vocab_size)
             self.padding_idx = getattr(self.tokenizer, "pad_token_id", 0)
         else:
             raise ValueError(f"Unknown dataset mode {mode!r}")

@@ -71,15 +71,22 @@ class HashingTokenizer:
     sep_token_id = 102
 
     def __init__(self, vocab_size: int = 30522, max_length: int = 30):
+        if vocab_size < 104:
+            raise ValueError(
+                f"vocab_size {vocab_size} < 104 cannot hold the BERT "
+                "special tokens (PAD=0, UNK=100, CLS=101, SEP=102)")
         self.vocab_size = vocab_size
         self.max_length = max_length
+        # Words hash above the special tokens; 999 matches WordPiece's
+        # unused/reserved range when the vocab allows it.
+        self._word_base = 999 if vocab_size > 999 else 103
 
     def _word_id(self, word: str) -> int:
         import hashlib
 
         h = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "little")
-        span = self.vocab_size - 999
-        return 999 + (h % span)
+        span = self.vocab_size - self._word_base
+        return self._word_base + (h % span)
 
     def __call__(self, text, padding="max_length", truncation=True,
                  max_length: Optional[int] = None, **kw) -> dict:
@@ -159,9 +166,16 @@ class SentencePieceBPETokenizer:
 _HF_CACHE: dict = {}
 
 
-def get_hf_tokenizer(name: str = "bert-base-uncased", max_length: int = 30):
-    """HF tokenizer if locally cached, HashingTokenizer otherwise."""
-    key = (name, max_length)
+def get_hf_tokenizer(name: str = "bert-base-uncased", max_length: int = 30,
+                     vocab_size: Optional[int] = None):
+    """HF tokenizer if locally cached, HashingTokenizer otherwise.
+
+    ``vocab_size`` is the model's embedding-table size
+    (MODEL.TEXTUAL.VOCAB_SIZE): the hashing fallback MUST stay inside it —
+    out-of-range ids silently poison the embedding lookup with NaN fill
+    values under XLA (jnp.take OOB semantics), unlike torch's loud index
+    error."""
+    key = (name, max_length, vocab_size)
     if key in _HF_CACHE:
         return _HF_CACHE[key]
     tok = None
@@ -170,10 +184,16 @@ def get_hf_tokenizer(name: str = "bert-base-uncased", max_length: int = 30):
 
         tok = AutoTokenizer.from_pretrained(name, local_files_only=True)
         tok.model_max_length = max_length
+        if vocab_size is not None and tok.vocab_size > vocab_size:
+            logger.warning(
+                "Tokenizer %r has vocab %d > MODEL.TEXTUAL.VOCAB_SIZE %d; "
+                "ids beyond the embedding table will NaN the forward pass.",
+                name, tok.vocab_size, vocab_size)
     except Exception:
         logger.warning(
             "HF tokenizer %r not in local cache (offline env); using the "
             "deterministic HashingTokenizer fallback.", name)
-        tok = HashingTokenizer(max_length=max_length)
+        tok = HashingTokenizer(vocab_size=vocab_size or 30522,
+                               max_length=max_length)
     _HF_CACHE[key] = tok
     return tok

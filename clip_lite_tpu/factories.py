@@ -289,6 +289,7 @@ class PretrainingDatasetFactory(Factory):
             split=split,
             mode=_C.DATA.NAME,
             tokenizer_name=_C.MODEL.TEXTUAL.NETWORK_NAME,
+            vocab_size=_C.MODEL.TEXTUAL.VOCAB_SIZE,
             use_single_caption=_C.DATA.USE_SINGLE_CAPTION,
             visual_self_supervised=_C.MODEL.VISUAL.SELF_SUPERVISED,
             textual_self_supervised=_C.MODEL.TEXTUAL.SELF_SUPERVISED,
@@ -328,6 +329,7 @@ class NegativeSamplingDatasetFactory(Factory):
             split=split,
             mode=_C.DATA.NAME,
             tokenizer_name=_C.MODEL.TEXTUAL.NETWORK_NAME,
+            vocab_size=_C.MODEL.TEXTUAL.VOCAB_SIZE,
             negative_sampling=_C.DATA.NEGATIVE_SAMPLING,
             total_iters=_C.OPTIM.NUM_ITERATIONS,
             negative_sampling_start_iter=_C.DATA.NEGATIVE_SAMPLING_START_ITERATION,

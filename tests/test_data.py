@@ -361,3 +361,29 @@ def test_lmdb_to_clrec_migration(monkeypatch, tmp_path):
     # sbert-mode feature records stored verbatim
     raw = r.reader[1]
     assert raw["image"].shape == (5, 768)
+
+
+def test_tokenizer_respects_model_vocab_size():
+    """MODEL.TEXTUAL.VOCAB_SIZE must bound every id the data pipeline
+    emits: OOB ids silently NaN the embedding lookup under XLA (jnp.take
+    fill semantics), unlike torch's loud index error.  Regression: the
+    HashingTokenizer fallback used to hash into the full 30522 BERT vocab
+    regardless of the configured embedding size."""
+    from clip_lite_tpu.config import Config
+    from clip_lite_tpu.data.tokenizers import HashingTokenizer
+    from clip_lite_tpu.factories import PretrainingDatasetFactory
+
+    tok = HashingTokenizer(vocab_size=512)
+    enc = tok("a photo of two dogs playing catch in the park")
+    assert max(enc["input_ids"]) < 512
+
+    cfg = Config(override_list=[
+        "MODEL.NAME", "random", "DATA.NAME", "train_sbert",
+        "MODEL.TEXTUAL.VOCAB_SIZE", 512,
+    ])
+    ds = PretrainingDatasetFactory.from_config(cfg, split="train")
+    item = ds[0]
+    assert int(np.max(item["input_ids"])) < 512
+
+    with pytest.raises(ValueError):
+        HashingTokenizer(vocab_size=64)
