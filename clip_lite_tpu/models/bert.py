@@ -73,10 +73,15 @@ class BertLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask_bias, deterministic=True):
+        """x: (B*S, H) — the tower runs token-flattened so every Dense/LN
+        is a clean 2-D GEMM/rowwise op (XLA emits (B,S,H) dots as batched
+        convolutions with the MXU M-dim split per batch row: measured
+        ~75 vs ~180 TF/s on the FFN, ~5 ms/step on TPU v5e at bs128).
+        ``mask_bias`` is (B, S); B recovers from it."""
         h = self.hidden_size
         nh = self.num_heads
         hd = h // nh
-        b, s, _ = x.shape
+        b, s = mask_bias.shape
         xin = x.astype(self.dtype)
 
         # Fused QKV: one (H, 3H) GEMM.
@@ -92,10 +97,11 @@ class BertLayer(nn.Module):
             rng = (self.make_rng("dropout")
                    if not deterministic and rate > 0.0 else None)
             ctx = fused_short_attention(
-                qkv, mask_bias, nh, dropout_rate=rate, dropout_rng=rng,
-                deterministic=deterministic)
+                qkv.reshape(b, s, 3 * h), mask_bias, nh, dropout_rate=rate,
+                dropout_rng=rng,
+                deterministic=deterministic).reshape(b * s, h)
         else:
-            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q, k, v = jnp.split(qkv.reshape(b, s, 3 * h), 3, axis=-1)
             q = q.reshape(b, s, nh, hd)
             k = k.reshape(b, s, nh, hd)
             v = v.reshape(b, s, nh, hd)
@@ -109,7 +115,7 @@ class BertLayer(nn.Module):
                                deterministic=deterministic)(probs)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(self.dtype), v,
                              preferred_element_type=self.dtype)
-            ctx = ctx.reshape(b, s, h)
+            ctx = ctx.reshape(b * s, h)
 
         attn_out = nn.Dense(h, kernel_init=bert_dense_init, dtype=self.dtype,
                             param_dtype=jnp.float32, name="attn_out")(ctx)
@@ -164,6 +170,7 @@ class BertModel(nn.Module):
             fused = jax.default_backend() == "tpu"
         else:
             fused = bool(self.fused_attention)
+        b, s = input_ids.shape
 
         x = BertEmbeddings(
             vocab_size=self.vocab_size, hidden_size=self.hidden_size,
@@ -173,6 +180,8 @@ class BertModel(nn.Module):
             layer_norm_eps=self.layer_norm_eps, dtype=dtype,
             name="embeddings")(input_ids, token_type_ids, deterministic)
 
+        # Token-flattened (B*S, H) through the encoder stack (see BertLayer).
+        x = x.reshape(b * s, self.hidden_size)
         for i in range(self.num_hidden_layers):
             x = BertLayer(
                 hidden_size=self.hidden_size, num_heads=self.num_heads,
@@ -183,7 +192,8 @@ class BertModel(nn.Module):
                 fused_attention=fused,
                 name=f"layer_{i}")(x, mask_bias, deterministic)
 
-        sequence_output = x.astype(jnp.float32)
+        sequence_output = x.reshape(b, s, self.hidden_size).astype(
+            jnp.float32)
         pooled = None
         if self.add_pooler:
             cls = sequence_output[:, 0]

@@ -61,11 +61,15 @@ def lookahead(inner: optax.GradientTransformation, k: int = 5,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def slow_params_from_state(opt_state) -> Optional[optax.Params]:
+def slow_params_from_state(opt_state,
+                           params: Optional[optax.Params] = None
+                           ) -> Optional[optax.Params]:
     """Extract Lookahead slow weights for evaluation (the reference's
     ``load_slow_weights``, optim/lookahead.py:103-116).  Returns None if no
-    Lookahead state is present (handles both the optax-chain
-    LookaheadState and the fused optimizer's FusedOptState)."""
+    Lookahead state is present.  Handles both the optax-chain
+    LookaheadState (pytree slow weights) and the fused optimizer's
+    FusedOptState (flat slow vector — pass ``params`` to unravel it back
+    into the parameter structure)."""
     from clip_lite_tpu.optim.fused import FusedOptState
 
     found = []
@@ -74,9 +78,16 @@ def slow_params_from_state(opt_state) -> Optional[optax.Params]:
         if isinstance(s, LookaheadState):
             found.append(s.slow_params)
         elif isinstance(s, FusedOptState):
-            if isinstance(s.slow_params, dict) and not s.slow_params:
+            sp = s.slow_params
+            if isinstance(sp, dict) and not sp:
                 return  # lookahead disabled
-            found.append(s.slow_params)
+            if params is not None and not isinstance(sp, dict):
+                # Flat (N,) slow vector (e.g. a ZeRO-1-style flat state):
+                # unravel via the params structure.
+                from jax.flatten_util import ravel_pytree
+
+                sp = ravel_pytree(params)[1](sp)
+            found.append(sp)
         elif isinstance(s, tuple):
             for item in s:
                 visit(item)

@@ -101,6 +101,7 @@ def zero1_state_from_optax(opt_state, params, mesh: Mesh,
     and powers the step-exact equivalence test."""
     import optax
 
+    from clip_lite_tpu.optim.fused import FusedOptState
     from clip_lite_tpu.optim.lookahead import LookaheadState
 
     momentum_tree = None
@@ -115,6 +116,16 @@ def zero1_state_from_optax(opt_state, params, mesh: Mesh,
             slow_tree = s.slow_params
             la_count = s.step_count
             visit(s.inner_state)
+        elif isinstance(s, FusedOptState):
+            # Already flat fp32 vectors in ravel_pytree order — shard_tree
+            # below ravels them to themselves.
+            momentum_tree = s.trace
+            if not (isinstance(s.nu, dict) and not s.nu):
+                nu_tree = s.nu
+            if not (isinstance(s.slow_params, dict) and not s.slow_params):
+                slow_tree = s.slow_params
+            count = s.count
+            la_count = s.la_count
         elif isinstance(s, optax.TraceState):
             momentum_tree = s.trace
         elif isinstance(s, optax.ScaleByAdamState):

@@ -242,7 +242,8 @@ def test_fused_matches_chain_no_lookahead():
 
 
 def test_fused_slow_params_accessible():
-    _, _, fs = _fused_case("sgd", lookahead_on=True)
-    slow = slow_params_from_state(fs)
+    cp, _, fs = _fused_case("sgd", lookahead_on=True)
+    slow = slow_params_from_state(fs, params=cp)
     assert slow is not None
     assert "image_encoder" in slow
+    assert slow["image_encoder"]["w"].shape == (8, 16)
