@@ -34,7 +34,7 @@ def tiny_cfg_overrides():
 def test_bundle_encode_images_and_texts(tiny_cfg_overrides):
     cfg = Config(override_list=tiny_cfg_overrides + [
         "MODEL.TEXTUAL.NUM_HIDDEN_LAYERS", 1,
-        "MODEL.TEXTUAL.VOCAB_SIZE", 64])
+        "MODEL.TEXTUAL.VOCAB_SIZE", 128])
     bundle = EncoderBundle(cfg, checkpoint_path=None, batch_size=4)
     imgs = np.random.RandomState(0).randn(6, 32, 32, 3).astype(np.float32)
     feats = bundle.encode_images(imgs)
@@ -43,7 +43,8 @@ def test_bundle_encode_images_and_texts(tiny_cfg_overrides):
 
     from clip_lite_tpu.data.tokenizers import HashingTokenizer
 
-    tok = HashingTokenizer(vocab_size=64, max_length=8)
+    # 128 >= 104: the smallest vocab that can hold the BERT special ids.
+    tok = HashingTokenizer(vocab_size=128, max_length=8)
     txt = bundle.encode_texts(["a dog", "a cat on a mat", "hello"], tok)
     assert txt.shape == (3, 2048)
 
