@@ -244,6 +244,19 @@ class Config:
         # TPU-first input path: C++ fused JPEG decode+crop (native/),
         # uint8 host->device transfer, flip/jitter/normalize on device.
         _C.DATA.NATIVE_PIPELINE = False
+        # Sequence-length bucketing (train_sbert mode): collate trims the
+        # caption tensors of each batch to the smallest bucket >= the
+        # batch's longest real caption (COCO captions average ~12 of 30
+        # tokens — the padding burns ~2.5x the needed text-tower FLOPs).
+        # Padding is attention-masked, so real-token outputs are exactly
+        # unchanged; XLA compiles one step variant per bucket.  Empty
+        # list = off (reference-exact fixed MAX_CAPTION_LENGTH shapes).
+        _C.DATA.SEQ_BUCKETS = []
+        # With bucketing on, shuffle in length-sorted windows of this many
+        # batches so batches are length-homogeneous (0 = plain shuffle;
+        # grouped shuffling is the standard trade of batch-composition
+        # randomness for padding efficiency).
+        _C.DATA.LENGTH_GROUP_BATCHES = 32
 
         # -----------------------------------------------------------------
         #   Model architecture: visual backbone and textual head.

@@ -19,7 +19,7 @@ import json
 import os
 import pickle
 from collections import defaultdict
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import cv2
 import numpy as np
@@ -79,11 +79,24 @@ class CaptionDatasetBase(Dataset):
                  visual_self_supervised: bool = False,
                  textual_self_supervised: bool = False,
                  word_dict_path: Optional[str] = None,
-                 vocab_size: Optional[int] = None):
+                 vocab_size: Optional[int] = None,
+                 seq_buckets: Optional[Sequence[int]] = None):
         self.mode = mode
         self.image_transform = image_transform or T.DEFAULT_IMAGE_TRANSFORM
         self.max_caption_length = max_caption_length
         self.use_single_caption = use_single_caption
+        # Sequence-length bucketing (DATA.SEQ_BUCKETS): collate trims the
+        # caption tensors to the smallest bucket >= the batch's longest
+        # real caption; the top bucket is always max_caption_length.
+        buckets = sorted(int(b) for b in (seq_buckets or []))
+        if buckets:
+            if buckets[-1] > max_caption_length:
+                raise ValueError(
+                    f"SEQ_BUCKETS {buckets} exceed MAX_CAPTION_LENGTH "
+                    f"{max_caption_length}")
+            if buckets[-1] != max_caption_length:
+                buckets.append(max_caption_length)
+        self.seq_buckets = tuple(buckets)
         self.visual_self_supervised = visual_self_supervised
         self.textual_self_supervised = textual_self_supervised
         self.caption_transform = T.Compose(
@@ -168,6 +181,45 @@ class CaptionDatasetBase(Dataset):
     def collate_fn(self, items: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
         return {k: np.stack([d[k] for d in items]) for k in items[0]}
 
+    _CAPTION_BATCH_KEYS = ("input_ids", "attention_mask",
+                           "aug_input_ids", "aug_attention_mask",
+                           "neg_input_ids", "neg_attention_mask")
+
+    def trim_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Trim the caption tensors of a collated batch to the smallest
+        configured bucket that holds the batch's longest real caption.
+
+        Exactness: padding positions carry attention_mask=0, so every
+        real-token output of the text tower is unchanged by the trim (the
+        masked-softmax/pooling tests pin this); only the compiled shape
+        changes.  No-op when SEQ_BUCKETS is empty or in non-token modes."""
+        if not self.seq_buckets or "attention_mask" not in batch:
+            return batch
+        longest = int(np.max(np.sum(batch["attention_mask"], axis=1)))
+        for mk in ("aug_attention_mask", "neg_attention_mask"):
+            if mk in batch:
+                longest = max(longest, int(np.max(
+                    np.sum(batch[mk], axis=1))))
+        width = next(b for b in self.seq_buckets if b >= longest)
+        if width >= batch["attention_mask"].shape[1]:
+            return batch
+        for k in self._CAPTION_BATCH_KEYS:
+            if k in batch:
+                batch[k] = np.ascontiguousarray(batch[k][:, :width])
+        return batch
+
+    def _caption_token_length(self, caption: str) -> int:
+        enc = self.tokenizer(caption, padding="max_length", truncation=True,
+                             max_length=self.max_caption_length)
+        return int(np.sum(enc["attention_mask"]))
+
+    def caption_max_token_lengths(self) -> Optional[np.ndarray]:
+        """Per-item upper bound on tokenized caption length (max over the
+        item's candidate captions, since the caption choice is random per
+        epoch).  Returns None where a cheap scan isn't available; used by
+        the loader's length-grouped shuffling."""
+        return None
+
 
 class RandomDataset(CaptionDatasetBase):
     """Synthetic smoke dataset — random images + canned captions
@@ -200,6 +252,13 @@ class RandomDataset(CaptionDatasetBase):
             captions = rng.normal(size=(768,)).astype(np.float32)
         return self._prepare(idx, image, captions, rng)
 
+    def caption_max_token_lengths(self) -> Optional[np.ndarray]:
+        if self.mode != "train_sbert":
+            return None
+        # Each item draws from the same caption pool: one shared bound.
+        bound = max(self._caption_token_length(c) for c in self.CAPTIONS)
+        return np.full(self.length, bound, np.int32)
+
 
 class JsonDataset(CaptionDatasetBase):
     """ALBEF-style json caption files: [{"image": path, "caption": str|list}]
@@ -229,6 +288,16 @@ class JsonDataset(CaptionDatasetBase):
         if not isinstance(captions, list):
             captions = [captions]
         return self._prepare(idx, image, captions, rng)
+
+    def caption_max_token_lengths(self) -> Optional[np.ndarray]:
+        if self.mode != "train_sbert":
+            return None
+        out = np.empty(len(self.ann), np.int32)
+        for i, ann in enumerate(self.ann):
+            caps = ann["caption"]
+            caps = caps if isinstance(caps, list) else [caps]
+            out[i] = max(self._caption_token_length(c) for c in caps)
+        return out
 
 
 class CocoCaptionsDataset(CaptionDatasetBase):
@@ -322,6 +391,16 @@ class CocoCaptionsDataset(CaptionDatasetBase):
                 and captions.ndim == 2:
             captions = captions[int(rng.integers(len(captions)))]
         return self._prepare(rec["image_id"], rec["image"], captions, rng)
+
+    def caption_max_token_lengths(self) -> Optional[np.ndarray]:
+        if self.mode != "train_sbert":
+            return None
+        # One record read per item WITHOUT JPEG decode (readers.captions).
+        out = np.empty(len(self.reader), np.int32)
+        for i in range(len(self.reader)):
+            out[i] = max(self._caption_token_length(c)
+                         for c in self.reader.captions(i))
+        return out
 
 
 class CocoCaptionsClusteredDataset(CaptionDatasetBase):

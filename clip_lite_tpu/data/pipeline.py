@@ -32,7 +32,8 @@ class DataLoader:
                  drop_last: bool = True, num_workers: int = 4,
                  seed: int = 0, prefetch: int = 2,
                  device_put_fn: Optional[Callable] = None,
-                 background: bool = True):
+                 background: bool = True,
+                 length_group_batches: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -41,6 +42,16 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.device_put_fn = device_put_fn
+        # Sequence-bucketing companion (DATA.LENGTH_GROUP_BATCHES): shuffle
+        # in length-sorted windows of this many batches so collate can trim
+        # each batch to a short bucket.  0 = plain uniform shuffle.
+        self.length_group_batches = length_group_batches
+        self._item_lengths: Optional[np.ndarray] = None
+        if length_group_batches and shuffle:
+            lengths = getattr(dataset, "caption_max_token_lengths",
+                              lambda: None)()
+            if lengths is not None:
+                self._item_lengths = np.asarray(lengths)
         # background=False loads batches in the calling thread — required on
         # CPU backends, where XLA's in-process collective participants can
         # be starved past their rendezvous timeout by competing host
@@ -61,11 +72,28 @@ class DataLoader:
 
     def _epoch_order(self) -> np.ndarray:
         n = len(self.dataset)
-        if self.shuffle:
-            rng = np.random.default_rng(
-                np.random.SeedSequence([self.seed, self.epoch]))
-            return rng.permutation(n)
-        return np.arange(n)
+        if not self.shuffle:
+            return np.arange(n)
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch]))
+        order = rng.permutation(n)
+        if self._item_lengths is None:
+            return order
+        # Length-grouped shuffle: sort each window of G batches by caption
+        # length (stable, so the permutation keeps mixing within equal
+        # lengths), then shuffle whole batches so short batches don't
+        # always lead.  Pure function of (seed, epoch) — resume-exact.
+        window = self.batch_size * self.length_group_batches
+        for start in range(0, n, window):
+            w = order[start:start + window]
+            order[start:start + len(w)] = w[np.argsort(
+                self._item_lengths[w], kind="stable")]
+        n_full = n // self.batch_size
+        full = order[:n_full * self.batch_size].reshape(
+            n_full, self.batch_size)
+        order[:n_full * self.batch_size] = full[
+            rng.permutation(n_full)].reshape(-1)
+        return order
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -89,6 +117,9 @@ class DataLoader:
         else:
             items = list(pool.map(self.dataset.__getitem__, idxs))
             batch = self.dataset.collate_fn(items)
+        trim = getattr(self.dataset, "trim_batch", None)
+        if trim is not None:
+            batch = trim(batch)
         if self.device_put_fn is not None:
             batch = self.device_put_fn(batch)
         return batch

@@ -153,6 +153,14 @@ class CocoCaptionsRecordReader:
         rec["image"] = decode_image(rec["image"])
         return rec
 
+    def captions(self, i: int):
+        """Captions of record ``i`` without decoding its JPEG — used by
+        sequence-length bucketing to scan lengths cheaply."""
+        rec = self.reader[int(self._indices[i])]
+        if isinstance(rec, tuple):
+            return rec[2]
+        return rec["captions"]
+
 
 class CocoCaptionsDirReader:
     """Raw COCO directory reader: images/{split}2017/*.jpg +

@@ -290,6 +290,7 @@ class PretrainingDatasetFactory(Factory):
             mode=_C.DATA.NAME,
             tokenizer_name=_C.MODEL.TEXTUAL.NETWORK_NAME,
             vocab_size=_C.MODEL.TEXTUAL.VOCAB_SIZE,
+            seq_buckets=list(_C.DATA.SEQ_BUCKETS),
             use_single_caption=_C.DATA.USE_SINGLE_CAPTION,
             visual_self_supervised=_C.MODEL.VISUAL.SELF_SUPERVISED,
             textual_self_supervised=_C.MODEL.TEXTUAL.SELF_SUPERVISED,

@@ -92,7 +92,9 @@ def init_dataloaders(_C, _A, mesh, kind: str = "normal",
         train_ds, batch_size, shuffle=True, drop_last=True,
         num_workers=_A.cpu_workers, seed=_C.RANDOM_SEED,
         prefetch=_C.DATA.PREFETCH, device_put_fn=train_putter,
-        background=background)
+        background=background,
+        length_group_batches=(_C.DATA.LENGTH_GROUP_BATCHES
+                              if _C.DATA.SEQ_BUCKETS else 0))
     val_loader = DataLoader(
         val_ds, batch_size, shuffle=False, drop_last=True,
         num_workers=_A.cpu_workers, seed=_C.RANDOM_SEED,
@@ -139,6 +141,10 @@ def main(_A) -> None:
     if use_zero1 and steps_per_call > 1:
         raise ValueError("PARALLEL.ZERO1 is incompatible with "
                          "PARALLEL.STEPS_PER_CALL > 1")
+    if _C.DATA.SEQ_BUCKETS and steps_per_call > 1:
+        raise ValueError("DATA.SEQ_BUCKETS is incompatible with "
+                         "PARALLEL.STEPS_PER_CALL > 1 (stacked batches "
+                         "must share one compiled shape)")
     if use_zero1 and n_dev == 1:
         logger.warning("PARALLEL.ZERO1 on a single-device mesh shards "
                        "nothing; using the replicated update instead")

@@ -387,3 +387,73 @@ def test_tokenizer_respects_model_vocab_size():
 
     with pytest.raises(ValueError):
         HashingTokenizer(vocab_size=64)
+
+
+def test_seq_bucketing_trims_and_is_exact():
+    """DATA.SEQ_BUCKETS: collate trims caption tensors to the smallest
+    bucket holding the batch's longest caption, and the text tower's
+    pooled output is exactly unchanged (padding is attention-masked)."""
+    import jax
+
+    from clip_lite_tpu.data.datasets import RandomDataset
+    from clip_lite_tpu.data.pipeline import DataLoader
+    from clip_lite_tpu.models.bert import BertModel
+
+    ds = RandomDataset(length=32, image_size=32, mode="train_sbert",
+                       max_caption_length=30, vocab_size=512,
+                       seq_buckets=[12, 20])
+    assert ds.seq_buckets == (12, 20, 30)  # top bucket auto-appended
+    loader = DataLoader(ds, 8, shuffle=True, drop_last=True, num_workers=0,
+                        seed=0, background=False, length_group_batches=4)
+    batch = next(iter(loader))
+    s = batch["input_ids"].shape[1]
+    assert s in (12, 20, 30) and s < 30  # canned captions are ~12 tokens
+    assert batch["attention_mask"].shape == batch["input_ids"].shape
+    assert batch["image"].shape[0] == 8  # non-caption keys untouched
+
+    # Exactness: same rows padded back to 30 give the same pooled output.
+    model = BertModel(num_hidden_layers=1, vocab_size=512,
+                      fused_attention=False)
+    pad = 30 - s
+    ids30 = np.pad(batch["input_ids"], ((0, 0), (0, pad)))
+    mask30 = np.pad(batch["attention_mask"], ((0, 0), (0, pad)))
+    v = model.init(jax.random.PRNGKey(0), ids30, mask30)
+    _, pooled30 = model.apply(v, ids30, mask30, deterministic=True)
+    _, pooled_s = model.apply(v, batch["input_ids"],
+                              batch["attention_mask"], deterministic=True)
+    np.testing.assert_allclose(np.asarray(pooled_s), np.asarray(pooled30),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_length_grouped_order_is_permutation_and_deterministic():
+    from clip_lite_tpu.data.pipeline import DataLoader
+
+    class _DS:
+        def __len__(self):
+            return 103
+
+        def caption_max_token_lengths(self):
+            return (np.arange(103) * 7919) % 29  # scrambled lengths
+
+    dl1 = DataLoader(_DS(), 8, shuffle=True, num_workers=0, seed=3,
+                     length_group_batches=2, background=False)
+    dl2 = DataLoader(_DS(), 8, shuffle=True, num_workers=0, seed=3,
+                     length_group_batches=2, background=False)
+    dl1.set_epoch(5)
+    dl2.set_epoch(5)
+    o1, o2 = dl1._epoch_order(), dl2._epoch_order()
+    np.testing.assert_array_equal(o1, o2)          # deterministic
+    np.testing.assert_array_equal(np.sort(o1), np.arange(103))  # permutation
+    # Batches are length-homogeneous vs plain shuffle: compare mean
+    # in-batch length spread.
+    lengths = _DS().caption_max_token_lengths()
+    plain = DataLoader(_DS(), 8, shuffle=True, num_workers=0, seed=3,
+                       background=False)
+    plain.set_epoch(5)
+    op = plain._epoch_order()
+
+    def spread(order):
+        b = order[:96].reshape(12, 8)
+        return float(np.mean(np.ptp(lengths[b], axis=1)))
+
+    assert spread(o1) < spread(op)
