@@ -211,6 +211,7 @@ def _measure_real_data(per_chip_batch: int = 128,
     cfg = Config(override_list=[
         "MODEL.NAME", "captions", "DATA.NAME", "train_sbert",
         "DATA.ROOT", root, "DATA.NATIVE_PIPELINE", True,
+        "DATA.SEQ_BUCKETS", [12, 20],  # real-data path: short captions
         "MODEL.VISUAL.NETWORK_NAME", "resnet50",
         "MODEL.VISUAL.FEATURE_SIZE", 2048,
         "MODEL.TEXTUAL.NUM_HIDDEN_LAYERS", 12,
