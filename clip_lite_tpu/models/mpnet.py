@@ -55,14 +55,18 @@ class MPNetLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, bias, deterministic=True):
+        """x: (B*S, H) token-flattened (see models/bert.py — XLA emits
+        (B,S,H) dots as batched convolutions at a fraction of the GEMM
+        throughput); ``bias`` is (B, nh, S, S) rel-pos + padding."""
         h, nh = self.hidden_size, self.num_heads
         hd = h // nh
-        b, s, _ = x.shape
+        s = bias.shape[-1]
+        b = x.shape[0] // s
         xin = x.astype(self.dtype)
 
         qkv = nn.Dense(3 * h, kernel_init=dense_init, dtype=self.dtype,
                        param_dtype=jnp.float32, name="qkv")(xin)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = jnp.split(qkv.reshape(b, s, 3 * h), 3, axis=-1)
         q = q.reshape(b, s, nh, hd)
         k = k.reshape(b, s, nh, hd)
         v = v.reshape(b, s, nh, hd)
@@ -74,7 +78,7 @@ class MPNetLayer(nn.Module):
         probs = nn.Dropout(self.dropout_rate,
                            deterministic=deterministic)(probs)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(self.dtype), v,
-                         preferred_element_type=self.dtype).reshape(b, s, h)
+                         preferred_element_type=self.dtype).reshape(b * s, h)
 
         attn_out = nn.Dense(h, kernel_init=dense_init, dtype=self.dtype,
                             param_dtype=jnp.float32, name="attn_out")(ctx)
@@ -150,8 +154,11 @@ class MPNetModel(nn.Module):
         rel_bias = rel_bias_table.transpose(2, 0, 1)[None]  # (1, nh, s, s)
         pad_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32))
         pad_bias = pad_bias * jnp.finfo(jnp.float32).min * 0.5
-        bias = rel_bias + pad_bias
+        bias = jnp.broadcast_to(rel_bias + pad_bias,
+                                (b, self.num_heads, s, s))
 
+        # Token-flattened (B*S, H) through the stack (see MPNetLayer).
+        x = x.reshape(b * s, self.hidden_size)
         for i in range(self.num_hidden_layers):
             x = MPNetLayer(
                 hidden_size=self.hidden_size, num_heads=self.num_heads,
@@ -160,7 +167,8 @@ class MPNetModel(nn.Module):
                 layer_norm_eps=self.layer_norm_eps, dtype=dtype,
                 name=f"layer_{i}")(x, bias, deterministic)
 
-        sequence_output = x.astype(jnp.float32)
+        sequence_output = x.reshape(b, s, self.hidden_size).astype(
+            jnp.float32)
         cls = sequence_output[:, 0]
         pooled = nn.Dense(self.hidden_size, kernel_init=dense_init,
                           dtype=jnp.float32, param_dtype=jnp.float32,
