@@ -153,3 +153,31 @@ def test_bert_layer_toggle_equivalence():
     seq2, _ = fused.apply(v, ids, am, deterministic=True)
     np.testing.assert_allclose(np.asarray(seq1), np.asarray(seq2),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("s,nh,hd,b", [
+    (12, 12, 64, 4),   # SEQ_BUCKETS short bucket
+    (20, 12, 64, 4),   # SEQ_BUCKETS mid bucket
+    (30, 8, 32, 6),    # smaller heads (bert_2layers-style ablations)
+    (64, 4, 128, 2),   # wide heads, longer sequence
+])
+def test_fused_attention_shapes(s, nh, hd, b):
+    """The kernel must stay exact across the shapes the framework feeds
+    it: sequence buckets, head-count ablations, wide heads."""
+    h = nh * hd
+    rng = np.random.RandomState(1)
+    qkv = jnp.asarray(rng.randn(b, s, 3 * h) * 0.3, jnp.float32)
+    mask = np.ones((b, s), np.float32)
+    mask[:, max(1, s - 3):] = 0.0
+    bias = jnp.asarray((1 - mask) * MASK_VALUE, jnp.float32)
+    ref = _xla_attention(qkv, bias, nh, 0.0, None)
+    out = fused_short_attention(qkv, bias, nh, deterministic=True,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    g1 = jax.grad(lambda q: jnp.sum(fused_short_attention(
+        q, bias, nh, deterministic=True, interpret=True) ** 2))(qkv)
+    g2 = jax.grad(lambda q: jnp.sum(
+        _xla_attention(q, bias, nh, 0.0, None) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
