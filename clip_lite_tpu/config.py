@@ -157,6 +157,10 @@ def _coerce(value: Any, current: Any, key: str) -> Any:
         raise TypeError(f"{key}: cannot coerce {value!r} to bool")
     if isinstance(current, float) and isinstance(value, int):
         return float(value)
+    if isinstance(current, str) and isinstance(value, bool):
+        # Tri-state string keys (e.g. MODEL.TEXTUAL.FUSED_ATTENTION
+        # "auto") accept YAML booleans.
+        return "true" if value else "false"
     if isinstance(current, (list, tuple)):
         return list(value)
     if type(value) is not type(current) and not (
@@ -292,6 +296,11 @@ class Config:
         _C.MODEL.TEXTUAL.SELF_SUPERVISED = False
         _C.MODEL.TEXTUAL.NUM_HIDDEN_LAYERS = 12
         _C.MODEL.TEXTUAL.VOCAB_SIZE = 30522
+        # Fused Pallas attention kernel (ops/attention.py): "auto" enables
+        # it on TPU backends; "false" forces the unfused XLA path (bit-
+        # compatible with jax.random dropout streams); "true" forces the
+        # kernel (interpret mode off-TPU).
+        _C.MODEL.TEXTUAL.FUSED_ATTENTION = "auto"
 
         _C.MODEL.LOSS = ConfigNode()
         _C.MODEL.LOSS.NAME = "jsd"

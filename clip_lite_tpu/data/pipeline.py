@@ -83,12 +83,18 @@ class DataLoader:
         # length (stable, so the permutation keeps mixing within equal
         # lengths), then shuffle whole batches so short batches don't
         # always lead.  Pure function of (seed, epoch) — resume-exact.
+        # With drop_last the ragged tail is excluded from window sorting:
+        # sorting it would make the dropped items always the final
+        # window's longest captions (a systematic per-epoch bias); left
+        # unsorted the drop stays a uniform random sample, like a plain
+        # shuffle.
         window = self.batch_size * self.length_group_batches
-        for start in range(0, n, window):
-            w = order[start:start + window]
+        n_full = n // self.batch_size
+        limit = n_full * self.batch_size if self.drop_last else n
+        for start in range(0, limit, window):
+            w = order[start:min(start + window, limit)]
             order[start:start + len(w)] = w[np.argsort(
                 self._item_lengths[w], kind="stable")]
-        n_full = n // self.batch_size
         full = order[:n_full * self.batch_size].reshape(
             n_full, self.batch_size)
         order[:n_full * self.batch_size] = full[

@@ -100,6 +100,7 @@ class TextualHeadFactory(Factory):
             load_glove=_C.MODEL.TEXTUAL.LOAD_GLOVE,
             train_embeddings=_C.MODEL.TEXTUAL.TRAIN_EMBEDDINGS,
             dtype_name=_C.DTYPE if _C.AMP else "float32",
+            fused_attention=_C.MODEL.TEXTUAL.FUSED_ATTENTION,
         )
 
 

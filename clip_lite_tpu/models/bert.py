@@ -166,10 +166,9 @@ class BertModel(nn.Module):
         # Additive bias: 0 on real tokens, large negative on padding.
         mask_bias = (1.0 - attention_mask.astype(jnp.float32)) * (
             jnp.finfo(jnp.float32).min * 0.5)
-        if self.fused_attention == "auto":
-            fused = jax.default_backend() == "tpu"
-        else:
-            fused = bool(self.fused_attention)
+        from clip_lite_tpu.ops.attention import resolve_fused_flag
+
+        fused = resolve_fused_flag(self.fused_attention)
         b, s = input_ids.shape
 
         x = BertEmbeddings(

@@ -52,6 +52,7 @@ class MPNetLayer(nn.Module):
     dropout_rate: float = 0.1
     layer_norm_eps: float = 1e-5
     dtype: Any = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, bias, deterministic=True):
@@ -66,19 +67,34 @@ class MPNetLayer(nn.Module):
 
         qkv = nn.Dense(3 * h, kernel_init=dense_init, dtype=self.dtype,
                        param_dtype=jnp.float32, name="qkv")(xin)
-        q, k, v = jnp.split(qkv.reshape(b, s, 3 * h), 3, axis=-1)
-        q = q.reshape(b, s, nh, hd)
-        k = k.reshape(b, s, nh, hd)
-        v = v.reshape(b, s, nh, hd)
+        if self.fused_attention:
+            # One Pallas kernel per direction over the packed QKV; the
+            # full (B,NH,S,S) bias operand carries MPNet's learned
+            # relative position table (its gradient comes back as dbias).
+            from clip_lite_tpu.ops.attention import fused_short_attention
 
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(hd) + bias  # bias = rel-pos + padding
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-        probs = nn.Dropout(self.dropout_rate,
-                           deterministic=deterministic)(probs)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(self.dtype), v,
-                         preferred_element_type=self.dtype).reshape(b * s, h)
+            rate = self.dropout_rate
+            rng = (self.make_rng("dropout")
+                   if not deterministic and rate > 0.0 else None)
+            ctx = fused_short_attention(
+                qkv.reshape(b, s, 3 * h), bias, nh, dropout_rate=rate,
+                dropout_rng=rng,
+                deterministic=deterministic).reshape(b * s, h)
+        else:
+            q, k, v = jnp.split(qkv.reshape(b, s, 3 * h), 3, axis=-1)
+            q = q.reshape(b, s, nh, hd)
+            k = k.reshape(b, s, nh, hd)
+            v = v.reshape(b, s, nh, hd)
+
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / math.sqrt(hd) + bias  # rel-pos + padding
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            probs = nn.Dropout(self.dropout_rate,
+                               deterministic=deterministic)(probs)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(self.dtype), v,
+                             preferred_element_type=self.dtype
+                             ).reshape(b * s, h)
 
         attn_out = nn.Dense(h, kernel_init=dense_init, dtype=self.dtype,
                             param_dtype=jnp.float32, name="attn_out")(ctx)
@@ -116,10 +132,14 @@ class MPNetModel(nn.Module):
     dropout_rate: float = 0.1
     layer_norm_eps: float = 1e-5
     dtype_name: str = "float32"
+    fused_attention: str = "auto"  # "auto" = Pallas kernel on TPU backends
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, deterministic=True):
+        from clip_lite_tpu.ops.attention import resolve_fused_flag
+
         dtype = jnp.bfloat16 if self.dtype_name == "bfloat16" else jnp.float32
+        fused = resolve_fused_flag(self.fused_attention)
         b, s = input_ids.shape
         if attention_mask is None:
             attention_mask = jnp.ones_like(input_ids)
@@ -165,6 +185,7 @@ class MPNetModel(nn.Module):
                 intermediate_size=self.intermediate_size,
                 dropout_rate=self.dropout_rate,
                 layer_norm_eps=self.layer_norm_eps, dtype=dtype,
+                fused_attention=fused,
                 name=f"layer_{i}")(x, bias, deterministic)
 
         sequence_output = x.reshape(b, s, self.hidden_size).astype(

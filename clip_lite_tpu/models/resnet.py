@@ -115,7 +115,7 @@ class SpaceToDepthStem(nn.Module):
     4x4/s1 convolution over the 2x2 space-to-depth input — the 7x7/s2
     3-channel form underutilizes the MXU (im2col depth 147 with C=3) and
     its backward is stride-dilated.  Measured ~0.5 ms/step faster on TPU
-    v5e at bs128 (perf_probe5).
+    v5e at bs128 (round-2 trace campaign, docs/PERF_NOTES.md).
     """
 
     features: int = 64

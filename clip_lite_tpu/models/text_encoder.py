@@ -42,6 +42,9 @@ class TextEncoder(nn.Module):
     load_glove: bool = False
     train_embeddings: bool = False
     dtype_name: str = "float32"
+    # "auto" = Pallas fused attention on TPU backends; "true"/"false"
+    # force it on/off (MODEL.TEXTUAL.FUSED_ATTENTION).
+    fused_attention: str = "auto"
 
     def setup(self):
         if self.mode == "glove":
@@ -57,12 +60,16 @@ class TextEncoder(nn.Module):
 
                 self.transformer = MPNetModel(
                     num_hidden_layers=self.num_hidden_layers,
-                    dtype_name=self.dtype_name, name="transformer")
+                    dtype_name=self.dtype_name,
+                    fused_attention=self.fused_attention,
+                    name="transformer")
             else:
                 self.transformer = BertModel(
                     vocab_size=self.vocab_size,
                     num_hidden_layers=self.num_hidden_layers,
-                    dtype_name=self.dtype_name, name="transformer")
+                    dtype_name=self.dtype_name,
+                    fused_attention=self.fused_attention,
+                    name="transformer")
             in_dim = 768
         else:
             raise ValueError(f"Unknown text encoder mode {self.mode!r}")

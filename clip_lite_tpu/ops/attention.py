@@ -15,8 +15,9 @@ Semantics match the unfused path in ``models/bert.py`` (additive mask of
 dropout mask stream: the kernel draws TPU-core PRNG bits instead of
 ``jax.random.bernoulli``, so masks differ draw-for-draw (training
 statistics are equivalent — the same trade the rbg PRNG default makes,
-see docs/PERF_NOTES.md).  Set MODEL.TEXTUAL.FUSED_ATTENTION=False for
-bit-compatibility with the XLA path.
+see docs/PERF_NOTES.md).  Set ``MODEL.TEXTUAL.FUSED_ATTENTION false``
+(config.py, plumbed through TextualHeadFactory) for bit-compatibility
+with the XLA path.
 
 Layout contract: q/k/v arrive packed as the raw fused-QKV activation
 (B, S, 3*NH*HD) — head h of q/k/v lives in lanes [h*HD, (h+1)*HD) of the
@@ -39,14 +40,34 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = float(np.finfo(np.float32).min) * 0.5
 
 
-def _pick_batch_block(batch: int, seq: int, three_h: int) -> int:
+def _pick_batch_block(batch: int, seq: int, three_h: int,
+                      itemsize: int, bias_full_heads: int = 0) -> int:
     """Largest power-of-two batch block dividing ``batch`` that keeps the
-    working set comfortably inside VMEM."""
-    budget = 4 * 1024 * 1024  # bytes of block inputs; VMEM is ~16MB
+    working set inside VMEM (~16MB/core on v4/v5e).
+
+    Counts the real working set, not just the QKV input: the Pallas
+    pipeline double-buffers every in/out block, and the kernel holds ~5
+    live fp32 (bb,S,S) per-head temporaries (probs / dropped probs / dpd /
+    dp / ds in the backward).  Sized for the BACKWARD (qkv + g in, dqkv
+    out) so forward and backward always pick the SAME block — the on-core
+    dropout PRNG is seeded per batch-block program, so a fwd/bwd block
+    mismatch would desynchronize the masks.
+
+    Returns 0 when even a single-item block does not fit (caller falls
+    back to the unfused XLA path).
+    """
+    budget = 12 * 1024 * 1024
+    hidden = three_h // 3
+    io_blocks = (2 * seq * three_h + seq * hidden) * itemsize + seq * 4
+    if bias_full_heads:
+        # Full per-head bias: (bb, NH, S, S) fp32 input + the same-shaped
+        # dbias output in the backward.
+        io_blocks += 2 * bias_full_heads * seq * seq * 4
+    per_item = 2 * io_blocks + 5 * seq * seq * 4
     bb = 16
-    while bb > 1 and (batch % bb != 0 or bb * seq * three_h * 2 > budget):
+    while bb > 1 and (batch % bb != 0 or bb * per_item > budget):
         bb //= 2
-    return bb
+    return 0 if per_item > budget else bb
 
 
 def _head_slices(qkv_ref, h: int, hd: int, hidden: int):
@@ -58,10 +79,12 @@ def _head_slices(qkv_ref, h: int, hd: int, hidden: int):
 
 
 def _scores(q, k, bias, inv_sqrt_hd):
+    """``bias`` arrives pre-shaped for this head: (bb, 1, S) for a key
+    bias, (bb, S, S) for a full per-head bias."""
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    return s * inv_sqrt_hd + bias[:, None, :]
+    return s * inv_sqrt_hd + bias
 
 
 def _dropout_bits(shape, threshold):
@@ -71,7 +94,7 @@ def _dropout_bits(shape, threshold):
 
 def _attention_fwd_kernel(seed_ref, qkv_ref, bias_ref, *rest, num_heads: int,
                           head_dim: int, rate: float, threshold: int,
-                          external_mask: bool):
+                          external_mask: bool, full_bias: bool):
     keep_ref, out_ref = rest if external_mask else (None, *rest)
     hidden = num_heads * head_dim
     inv_sqrt_hd = 1.0 / math.sqrt(head_dim)
@@ -79,8 +102,10 @@ def _attention_fwd_kernel(seed_ref, qkv_ref, bias_ref, *rest, num_heads: int,
         if not external_mask:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         inv_keep = jnp.float32(1.0 / (1.0 - rate))
-    bias = bias_ref[:]
+    bias = None if full_bias else bias_ref[:][:, None, :]
     for h in range(num_heads):
+        if full_bias:
+            bias = bias_ref[:, h]
         q, k, v = _head_slices(qkv_ref, h, head_dim, hidden)
         probs = jax.nn.softmax(_scores(q, k, bias, inv_sqrt_hd), axis=-1)
         if rate > 0.0:
@@ -96,8 +121,14 @@ def _attention_fwd_kernel(seed_ref, qkv_ref, bias_ref, *rest, num_heads: int,
 
 def _attention_bwd_kernel(seed_ref, qkv_ref, bias_ref, g_ref, *rest,
                           num_heads: int, head_dim: int, rate: float,
-                          threshold: int, external_mask: bool):
-    keep_ref, dqkv_ref = rest if external_mask else (None, *rest)
+                          threshold: int, external_mask: bool,
+                          full_bias: bool):
+    if external_mask:
+        keep_ref, dqkv_ref, *dbias_out = rest
+    else:
+        keep_ref = None
+        dqkv_ref, *dbias_out = rest
+    dbias_ref = dbias_out[0] if full_bias else None
     hidden = num_heads * head_dim
     inv_sqrt_hd = 1.0 / math.sqrt(head_dim)
     if rate > 0.0:
@@ -105,9 +136,11 @@ def _attention_bwd_kernel(seed_ref, qkv_ref, bias_ref, g_ref, *rest,
         if not external_mask:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         inv_keep = jnp.float32(1.0 / (1.0 - rate))
-    bias = bias_ref[:]
+    bias = None if full_bias else bias_ref[:][:, None, :]
     cdt = qkv_ref.dtype
     for h in range(num_heads):
+        if full_bias:
+            bias = bias_ref[:, h]
         q, k, v = _head_slices(qkv_ref, h, head_dim, hidden)
         g = g_ref[:, :, h * head_dim:(h + 1) * head_dim]
         probs = jax.nn.softmax(_scores(q, k, bias, inv_sqrt_hd), axis=-1)
@@ -132,6 +165,11 @@ def _attention_bwd_kernel(seed_ref, qkv_ref, bias_ref, g_ref, *rest,
             dp = dpd
         # softmax backward (fp32): ds = p * (dp - sum(dp * p))
         ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+        if full_bias:
+            # The bias is added directly to the scaled scores, so its
+            # gradient is the raw score gradient (before the 1/sqrt(hd)
+            # that belongs to the q.k product only).
+            dbias_ref[:, h] = ds
         ds = (ds * inv_sqrt_hd).astype(cdt)
         # dq = ds @ k ; dk = ds^T @ q
         dq = jax.lax.dot_general(
@@ -148,7 +186,10 @@ def _attention_bwd_kernel(seed_ref, qkv_ref, bias_ref, g_ref, *rest,
 
 
 def _grid_call(kernel, seed, inputs, out_shape, bb, interpret):
-    """pallas_call over batch blocks with the seed scalar-prefetched."""
+    """pallas_call over batch blocks with the seed scalar-prefetched.
+
+    ``out_shape`` may be a single ShapeDtypeStruct or a tuple of them
+    (all blocked on the leading batch dim)."""
     batch = inputs[0].shape[0]
     def _imap(ndim):
         # With scalar prefetch the index_map receives (i, *scalar_refs).
@@ -159,16 +200,21 @@ def _grid_call(kernel, seed, inputs, out_shape, bb, interpret):
                      memory_space=pltpu.VMEM)
         for arr in inputs
     ]
+    multi = isinstance(out_shape, (tuple, list))
+    outs = tuple(out_shape) if multi else (out_shape,)
+    out_specs = tuple(
+        pl.BlockSpec((bb,) + o.shape[1:], _imap(len(o.shape)),
+                     memory_space=pltpu.VMEM)
+        for o in outs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch // bb,),
         in_specs=specs,
-        out_specs=pl.BlockSpec(
-            (bb,) + out_shape.shape[1:], _imap(len(out_shape.shape)),
-            memory_space=pltpu.VMEM),
+        out_specs=out_specs if multi else out_specs[0],
     )
     return pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        kernel, grid_spec=grid_spec,
+        out_shape=tuple(outs) if multi else outs[0],
         interpret=interpret)(seed, *inputs)
 
 
@@ -176,7 +222,8 @@ def _xla_attention(qkv, bias, num_heads: int, dropout_rate: float,
                    dropout_rng: Optional[jax.Array]):
     """Reference/fallback path — the exact computation models/bert.py uses,
     on the packed-QKV layout (reference: CLIP-Lite trains HF BertModel,
-    encoder.py:160-176; math per Vaswani et al.)."""
+    encoder.py:160-176; math per Vaswani et al.).  ``bias`` is (B, S) key
+    bias or (B, NH, S, S) full per-head bias."""
     b, s, three_h = qkv.shape
     hidden = three_h // 3
     hd = hidden // num_heads
@@ -186,7 +233,8 @@ def _xla_attention(qkv, bias, num_heads: int, dropout_rate: float,
     v = v.reshape(b, s, num_heads, hd)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
-    scores = scores / math.sqrt(hd) + bias[:, None, None, :]
+    add = bias if bias.ndim == 4 else bias[:, None, None, :]
+    scores = scores / math.sqrt(hd) + add
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
@@ -214,12 +262,15 @@ def _external_keep_mask(seed, b, num_heads, s, rate):
 
 def _fused_fwd(qkv, bias, seed, num_heads, head_dim, rate, interpret):
     b, s, three_h = qkv.shape
-    bb = _pick_batch_block(b, s, three_h)
+    full = bias.ndim == 4
+    bb = _pick_batch_block(b, s, three_h, qkv.dtype.itemsize,
+                           num_heads if full else 0)
     threshold = min(int(rate * 2.0 ** 32), 2 ** 32 - 1)
     external = bool(interpret) and rate > 0.0
     kernel = functools.partial(
         _attention_fwd_kernel, num_heads=num_heads, head_dim=head_dim,
-        rate=rate, threshold=threshold, external_mask=external)
+        rate=rate, threshold=threshold, external_mask=external,
+        full_bias=full)
     inputs = (qkv, bias)
     if external:
         inputs += (_external_keep_mask(seed, b, num_heads, s, rate),)
@@ -233,19 +284,30 @@ def _fused_fwd(qkv, bias, seed, num_heads, head_dim, rate, interpret):
 def _fused_bwd(num_heads, head_dim, rate, interpret, res, g):
     qkv, bias, seed = res
     b, s, three_h = qkv.shape
-    bb = _pick_batch_block(b, s, three_h)
+    full = bias.ndim == 4
+    bb = _pick_batch_block(b, s, three_h, qkv.dtype.itemsize,
+                           num_heads if full else 0)
     threshold = min(int(rate * 2.0 ** 32), 2 ** 32 - 1)
     external = bool(interpret) and rate > 0.0
     kernel = functools.partial(
         _attention_bwd_kernel, num_heads=num_heads, head_dim=head_dim,
-        rate=rate, threshold=threshold, external_mask=external)
+        rate=rate, threshold=threshold, external_mask=external,
+        full_bias=full)
     inputs = (qkv, bias, g.astype(qkv.dtype))
     if external:
         inputs += (_external_keep_mask(seed, b, num_heads, s, rate),)
-    dqkv = _grid_call(
-        kernel, seed, inputs,
-        jax.ShapeDtypeStruct(qkv.shape, qkv.dtype), bb, interpret)
-    dbias = jnp.zeros_like(bias)  # mask bias is a constant input
+    out_shape = jax.ShapeDtypeStruct(qkv.shape, qkv.dtype)
+    if full:
+        # A full per-head bias (e.g. MPNet's learned relative position
+        # table) receives a real gradient: dbias = dscores.
+        dqkv, dbias = _grid_call(
+            kernel, seed, inputs,
+            (out_shape, jax.ShapeDtypeStruct(bias.shape, jnp.float32)),
+            bb, interpret)
+        dbias = dbias.astype(bias.dtype)
+    else:
+        dqkv = _grid_call(kernel, seed, inputs, out_shape, bb, interpret)
+        dbias = jnp.zeros_like(bias)  # key mask bias is a constant input
     dseed = np.zeros(seed.shape, jax.dtypes.float0)
     return dqkv, dbias, dseed
 
@@ -264,8 +326,10 @@ def fused_short_attention(qkv: jax.Array, mask_bias: jax.Array,
     Args:
       qkv: (B, S, 3*H) fused projection output (q | k | v thirds, each
         head-major).
-      mask_bias: (B, S) additive fp32 bias on key positions (0 on real
-        tokens, ``MASK_VALUE`` on padding).
+      mask_bias: additive fp32 score bias — either (B, S) on key
+        positions (0 on real tokens, ``MASK_VALUE`` on padding), or a
+        full (B, NH, S, S) per-head bias (e.g. MPNet's learned relative
+        position bias + padding mask; gradients flow to a full bias).
       num_heads: number of attention heads; H must divide by it.
       dropout_rate: attention-probability dropout rate.
       dropout_rng: PRNG key, required when dropout is active.
@@ -283,8 +347,12 @@ def fused_short_attention(qkv: jax.Array, mask_bias: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # Fall back to plain XLA where the fused kernel doesn't apply: odd
-    # batch blocks or sequences too long for an (S,S) VMEM tile per head.
-    if b % 2 != 0 or s > 256 or hidden != num_heads * head_dim:
+    # batch blocks, sequences too long for an (S,S) VMEM tile per head,
+    # or a working set that exceeds VMEM even at block size 1.
+    full_heads = num_heads if mask_bias.ndim == 4 else 0
+    if (b % 2 != 0 or s > 256 or hidden != num_heads * head_dim
+            or _pick_batch_block(b, s, three_h, qkv.dtype.itemsize,
+                                 full_heads) == 0):
         return _xla_attention(qkv, mask_bias, num_heads, rate, dropout_rng)
     if rate > 0.0:
         if dropout_rng is None:
@@ -297,4 +365,16 @@ def fused_short_attention(qkv: jax.Array, mask_bias: jax.Array,
                   bool(interpret))
 
 
-__all__ = ["fused_short_attention", "MASK_VALUE"]
+def resolve_fused_flag(flag) -> bool:
+    """Resolve the tri-state MODEL.TEXTUAL.FUSED_ATTENTION value:
+    "auto" enables the kernel on TPU backends; "true"/"false" (or a real
+    bool) force it on/off."""
+    if isinstance(flag, str):
+        low = flag.lower()
+        if low == "auto":
+            return jax.default_backend() == "tpu"
+        return low in ("true", "1", "yes")
+    return bool(flag)
+
+
+__all__ = ["fused_short_attention", "resolve_fused_flag", "MASK_VALUE"]

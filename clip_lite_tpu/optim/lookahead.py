@@ -66,13 +66,23 @@ def slow_params_from_state(opt_state,
                            ) -> Optional[optax.Params]:
     """Extract Lookahead slow weights for evaluation (the reference's
     ``load_slow_weights``, optim/lookahead.py:103-116).  Returns None if no
-    Lookahead state is present.  Handles both the optax-chain
-    LookaheadState (pytree slow weights) and the fused optimizer's
-    FusedOptState (flat slow vector — pass ``params`` to unravel it back
-    into the parameter structure)."""
+    Lookahead state is present.  Handles the optax-chain LookaheadState
+    (pytree slow weights), the fused optimizer's FusedOptState, and the
+    ZeRO-1 Zero1State (both keep a flat fp32 slow vector — pass ``params``
+    to unravel it back into the parameter structure; Zero1State's is
+    zero-padded to the mesh-divisible length and gets truncated)."""
+    # Lazy imports: optim/__init__ re-exports this module, and zero1
+    # imports optim — importing Zero1State at module scope would cycle.
     from clip_lite_tpu.optim.fused import FusedOptState
+    from clip_lite_tpu.parallel.zero1 import Zero1State
 
     found = []
+
+    def _unravel_flat(vec):
+        from jax.flatten_util import ravel_pytree
+
+        flat, unravel = ravel_pytree(params)
+        return unravel(vec[:flat.shape[0]])
 
     def visit(s):
         if isinstance(s, LookaheadState):
@@ -82,12 +92,17 @@ def slow_params_from_state(opt_state,
             if isinstance(sp, dict) and not sp:
                 return  # lookahead disabled
             if params is not None and not isinstance(sp, dict):
-                # Flat (N,) slow vector (e.g. a ZeRO-1-style flat state):
-                # unravel via the params structure.
-                from jax.flatten_util import ravel_pytree
-
-                sp = ravel_pytree(params)[1](sp)
+                # Flat (N,) slow vector: unravel via the params structure.
+                sp = _unravel_flat(sp)
             found.append(sp)
+        elif isinstance(s, Zero1State):
+            sp = s.slow_params
+            # create_zero1_opt_state stores all-zeros when Lookahead is
+            # off; a real slow vector is never identically zero (it starts
+            # as a copy of the params).
+            if not bool(jax.device_get(jnp.any(sp != 0))):
+                return
+            found.append(_unravel_flat(sp) if params is not None else sp)
         elif isinstance(s, tuple):
             for item in s:
                 visit(item)

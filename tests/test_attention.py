@@ -181,3 +181,144 @@ def test_fused_attention_shapes(s, nh, hd, b):
         _xla_attention(q, bias, nh, 0.0, None) ** 2))(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Full (B, NH, S, S) per-head bias (MPNet relative position bias support).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def full_bias_inputs():
+    rng = np.random.RandomState(2)
+    qkv = jnp.asarray(rng.randn(B, S, 3 * H) * 0.3, jnp.float32)
+    mask = np.ones((B, S), np.float32)
+    mask[:, 25:] = 0.0
+    pad = (1 - mask)[:, None, None, :] * MASK_VALUE
+    rel = rng.randn(1, NH, S, S).astype(np.float32) * 0.5
+    bias = jnp.asarray(rel + pad, jnp.float32)
+    return qkv, bias
+
+
+def test_full_bias_forward_matches_xla(full_bias_inputs):
+    qkv, bias = full_bias_inputs
+    ref = _xla_attention(qkv, bias, NH, 0.0, None)
+    out = fused_short_attention(qkv, bias, NH, deterministic=True,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_full_bias_grads_match_xla(full_bias_inputs):
+    """Both dqkv AND dbias must match — a full bias is a learned input
+    (MPNet's relative attention table receives this gradient)."""
+    qkv, bias = full_bias_inputs
+
+    def loss_fused(q, b_):
+        return jnp.sum(fused_short_attention(
+            q, b_, NH, deterministic=True, interpret=True) ** 2)
+
+    def loss_ref(q, b_):
+        return jnp.sum(_xla_attention(q, b_, NH, 0.0, None) ** 2)
+
+    g1q, g1b = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+    g2q, g2b = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(np.asarray(g1q), np.asarray(g2q),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1b), np.asarray(g2b),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_full_bias_dropout_grad_consistent(full_bias_inputs):
+    """With dropout active, fwd and bwd must see the same keep mask:
+    the directional derivative from the VJP must match a finite
+    difference of the (fixed-seed) forward."""
+    qkv, bias = full_bias_inputs
+    k = jax.random.PRNGKey(7)
+
+    def f(q):
+        return jnp.sum(fused_short_attention(
+            q, bias, NH, dropout_rate=0.3, dropout_rng=k,
+            deterministic=False, interpret=True) ** 2)
+
+    g = jax.grad(f)(qkv)
+    d = jnp.asarray(np.random.RandomState(3).randn(*qkv.shape),
+                    jnp.float32) * 1e-3
+    fd = f(qkv + d) - f(qkv - d)
+    np.testing.assert_allclose(float(jnp.vdot(g, d)) * 2, float(fd),
+                               rtol=2e-2)
+
+
+def test_mpnet_fused_toggle_equivalence():
+    """MPNetModel(fused_attention=true) must match the unfused model in
+    eval mode with identical params."""
+    from clip_lite_tpu.models.mpnet import MPNetModel
+
+    rng = np.random.RandomState(0)
+    ids = np.asarray(rng.randint(2, 1000, (2, 30)), np.int32)
+    am = np.ones((2, 30), np.int32)
+    am[:, 20:] = 0
+    ids[:, 20:] = 1  # pad token
+    plain = MPNetModel(vocab_size=1000, num_hidden_layers=2,
+                       fused_attention="false")
+    fused = MPNetModel(vocab_size=1000, num_hidden_layers=2,
+                       fused_attention="true")
+    v = plain.init(jax.random.PRNGKey(0), ids, am)
+    seq1, _ = plain.apply(v, ids, am, deterministic=True)
+    seq2, _ = fused.apply(v, ids, am, deterministic=True)
+    np.testing.assert_allclose(np.asarray(seq1), np.asarray(seq2),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mpnet_fused_rel_bias_gradient():
+    """The relative-attention-bias table must receive the same gradient
+    through the fused kernel as through the XLA path."""
+    from clip_lite_tpu.models.mpnet import MPNetModel
+
+    rng = np.random.RandomState(1)
+    ids = np.asarray(rng.randint(2, 500, (2, 16)), np.int32)
+    am = np.ones((2, 16), np.int32)
+
+    def loss(v, model):
+        seq, _ = model.apply(v, ids, am, deterministic=True)
+        return jnp.sum(seq ** 2)
+
+    plain = MPNetModel(vocab_size=500, num_hidden_layers=1,
+                       fused_attention="false")
+    fused = MPNetModel(vocab_size=500, num_hidden_layers=1,
+                       fused_attention="true")
+    v = plain.init(jax.random.PRNGKey(0), ids, am)
+    g1 = jax.grad(loss)(v, plain)
+    g2 = jax.grad(loss)(v, fused)
+    t1 = g1["params"]["relative_attention_bias"]["embedding"]
+    t2 = g2["params"]["relative_attention_bias"]["embedding"]
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_fused_attention_config_plumbing():
+    """MODEL.TEXTUAL.FUSED_ATTENTION round-trips from config (CLI string
+    and YAML bool forms) into the text tower module tree."""
+    from clip_lite_tpu.config import Config
+    from clip_lite_tpu.factories import TextualHeadFactory
+
+    cfg = Config(override_list=[
+        "MODEL.TEXTUAL.NUM_HIDDEN_LAYERS", 1,
+        "MODEL.TEXTUAL.FUSED_ATTENTION", "false"])
+    enc = TextualHeadFactory.from_config(cfg)
+    assert enc.fused_attention == "false"
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "c.yaml")
+        with open(p, "w") as f:
+            f.write("MODEL:\n  TEXTUAL:\n    FUSED_ATTENTION: false\n")
+        cfg2 = Config(p)
+    assert cfg2.MODEL.TEXTUAL.FUSED_ATTENTION == "false"
+    cfg3 = Config()
+    assert cfg3.MODEL.TEXTUAL.FUSED_ATTENTION == "auto"
+
+    from clip_lite_tpu.ops.attention import resolve_fused_flag
+    assert resolve_fused_flag("false") is False
+    assert resolve_fused_flag("true") is True
+    assert resolve_fused_flag(False) is False
+    assert resolve_fused_flag("auto") == (jax.default_backend() == "tpu")

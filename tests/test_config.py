@@ -48,6 +48,28 @@ def test_reference_yaml_loads():
         assert c.OPTIM.BATCH_SIZE > 0
 
 
+def _repo_configs():
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return sorted(glob.glob(os.path.join(here, "configs", "*.yaml")))
+
+
+@pytest.mark.parametrize("path", _repo_configs(),
+                         ids=lambda p: p.rsplit("/", 1)[-1])
+def test_repo_yaml_loads(path):
+    """Every YAML shipped with THIS repo (including the TPU-tuned
+    flagship) must load and produce a coherent config."""
+    c = Config(path)
+    assert c.OPTIM.BATCH_SIZE > 0
+    assert c.MODEL.VISUAL.FEATURE_SIZE > 0
+
+
+def test_repo_configs_present():
+    assert len(_repo_configs()) >= 18
+
+
 def test_frozen():
     c = Config()
     with pytest.raises(AttributeError):
