@@ -296,6 +296,9 @@ class Config:
         _C.MODEL.TEXTUAL.SELF_SUPERVISED = False
         _C.MODEL.TEXTUAL.NUM_HIDDEN_LAYERS = 12
         _C.MODEL.TEXTUAL.VOCAB_SIZE = 30522
+        # Transformer hidden/attention dropout (HF hidden_dropout_prob /
+        # attention_probs_dropout_prob; reference trains the HF default).
+        _C.MODEL.TEXTUAL.DROPOUT = 0.1
         # Fused Pallas attention kernel (ops/attention.py): "auto" enables
         # it on TPU backends; "false" forces the unfused XLA path (bit-
         # compatible with jax.random dropout streams); "true" forces the

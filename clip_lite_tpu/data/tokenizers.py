@@ -184,21 +184,24 @@ def get_hf_tokenizer(name: str = "bert-base-uncased", max_length: int = 30,
 
         tok = AutoTokenizer.from_pretrained(name, local_files_only=True)
         tok.model_max_length = max_length
-        if vocab_size is not None and tok.vocab_size > vocab_size:
-            # Fail loudly: ids beyond the embedding table silently NaN the
-            # forward pass under XLA (jnp.take OOB fill) — the exact
-            # failure the HashingTokenizer clamp exists to prevent.
-            raise ValueError(
-                f"Tokenizer {name!r} has vocab {tok.vocab_size} > "
-                f"MODEL.TEXTUAL.VOCAB_SIZE {vocab_size}; raise "
-                f"MODEL.TEXTUAL.VOCAB_SIZE to at least {tok.vocab_size} "
-                f"(out-of-range ids silently NaN the embedding lookup "
-                f"under XLA).")
     except Exception:
         logger.warning(
             "HF tokenizer %r not in local cache (offline env); using the "
             "deterministic HashingTokenizer fallback.", name)
         tok = HashingTokenizer(vocab_size=vocab_size or 30522,
                                max_length=max_length)
+    else:
+        if vocab_size is not None and tok.vocab_size > vocab_size:
+            # Fail loudly (OUTSIDE the fallback try: the fallback is for
+            # cache misses, not config errors): ids beyond the embedding
+            # table silently NaN the forward pass under XLA (jnp.take OOB
+            # fill) — the exact failure the HashingTokenizer clamp exists
+            # to prevent.
+            raise ValueError(
+                f"Tokenizer {name!r} has vocab {tok.vocab_size} > "
+                f"MODEL.TEXTUAL.VOCAB_SIZE {vocab_size}; raise "
+                f"MODEL.TEXTUAL.VOCAB_SIZE to at least {tok.vocab_size} "
+                f"(out-of-range ids silently NaN the embedding lookup "
+                f"under XLA).")
     _HF_CACHE[key] = tok
     return tok

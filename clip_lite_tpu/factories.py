@@ -101,6 +101,7 @@ class TextualHeadFactory(Factory):
             train_embeddings=_C.MODEL.TEXTUAL.TRAIN_EMBEDDINGS,
             dtype_name=_C.DTYPE if _C.AMP else "float32",
             fused_attention=_C.MODEL.TEXTUAL.FUSED_ATTENTION,
+            transformer_dropout=_C.MODEL.TEXTUAL.DROPOUT,
         )
 
 

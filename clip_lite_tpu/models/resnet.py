@@ -38,23 +38,52 @@ class ConvBN(nn.Module):
     features: int
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
-    padding: Any = "SAME"
+    # Default is torch Conv2d padding=k//2 (symmetric).  XLA "SAME" pads
+    # asymmetrically for even inputs under stride 2 — pad (0,1) where torch
+    # pads (1,1) — shifting every strided conv's sampling grid one pixel,
+    # which breaks bit-parity with torch-pretrained weights.
+    padding: Any = None
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = nn.Conv(
-            self.features,
-            self.kernel_size,
-            strides=self.strides,
-            padding=self.padding,
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=conv_kernel_init,
-            name="conv",
-        )(x.astype(self.dtype))
+        padding = self.padding
+        if padding is None:
+            padding = [(k // 2, k // 2) for k in self.kernel_size]
+        if self.kernel_size == (1, 1):
+            # Pointwise convs as explicit 2-D GEMMs.  As conv ops their
+            # weight-gradient lowers to a VPU convert+reduce fusion with
+            # ~3.6x the necessary HBM bytes (trace: ~22 ms/step across the
+            # RN50 backward at bs128); as (B*H*W, Cin) x (Cin, Cout) dots
+            # the whole bwd runs on the MXU.  A strided 1x1 conv (pad 0)
+            # is exactly subsample-then-matmul.  The param keeps the conv
+            # path/shape ("conv/kernel", (1, 1, Cin, Cout)) so
+            # checkpoints, torch import/export, and D2 export see no
+            # difference.
+            kernel = _ConvKernel((1, 1, x.shape[-1], self.features),
+                                 name="conv")()
+            xd = x.astype(self.dtype)
+            sh, sw = self.strides
+            if (sh, sw) != (1, 1):
+                xd = xd[:, ::sh, ::sw, :]
+            b, h, w, c = xd.shape
+            y = jnp.dot(xd.reshape(b * h * w, c),
+                        kernel[0, 0].astype(self.dtype),
+                        preferred_element_type=self.dtype)
+            x = y.reshape(b, h, w, self.features)
+        else:
+            x = nn.Conv(
+                self.features,
+                self.kernel_size,
+                strides=self.strides,
+                padding=padding,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=conv_kernel_init,
+                name="conv",
+            )(x.astype(self.dtype))
         # BN stays in the compute dtype: flax computes the batch statistics
         # in fp32 internally regardless (and running stats are stored fp32),
         # so keeping the activation tensor bf16 end-to-end halves the BN

@@ -45,6 +45,8 @@ class TextEncoder(nn.Module):
     # "auto" = Pallas fused attention on TPU backends; "true"/"false"
     # force it on/off (MODEL.TEXTUAL.FUSED_ATTENTION).
     fused_attention: str = "auto"
+    # Transformer hidden/attention dropout (MODEL.TEXTUAL.DROPOUT).
+    transformer_dropout: float = 0.1
 
     def setup(self):
         if self.mode == "glove":
@@ -62,6 +64,7 @@ class TextEncoder(nn.Module):
                     num_hidden_layers=self.num_hidden_layers,
                     dtype_name=self.dtype_name,
                     fused_attention=self.fused_attention,
+                    dropout_rate=self.transformer_dropout,
                     name="transformer")
             else:
                 self.transformer = BertModel(
@@ -69,6 +72,7 @@ class TextEncoder(nn.Module):
                     num_hidden_layers=self.num_hidden_layers,
                     dtype_name=self.dtype_name,
                     fused_attention=self.fused_attention,
+                    dropout_rate=self.transformer_dropout,
                     name="transformer")
             in_dim = 768
         else:

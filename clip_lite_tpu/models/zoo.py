@@ -30,15 +30,21 @@ class ConvBN(nn.Module):
     features: int
     kernel: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (1, 1)
-    padding: Any = "SAME"
+    # None = torch Conv2d padding=k//2 (symmetric both sides).  "SAME" is
+    # asymmetric under stride 2 (pads (0,1) vs torch (1,1)), shifting the
+    # sampling grid of strided convs vs torch-pretrained weights.
+    padding: Any = None
     groups: int = 1
     use_relu: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        padding = self.padding
+        if padding is None:
+            padding = [(k // 2, k // 2) for k in self.kernel]
         x = nn.Conv(self.features, self.kernel, strides=self.strides,
-                    padding=self.padding, feature_group_count=self.groups,
+                    padding=padding, feature_group_count=self.groups,
                     use_bias=False, kernel_init=conv_init, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv")(x.astype(self.dtype))
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -173,16 +179,16 @@ class WRNBlock(nn.Module):
                          name="bn1")(x.astype(jnp.float32))
         h = nn.relu(h).astype(self.dtype)
         y = nn.Conv(self.features, (3, 3), strides=self.strides,
-                    padding="SAME", use_bias=False, kernel_init=conv_init,
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    name="conv1")(h)
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    kernel_init=conv_init, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv1")(h)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32,
                          param_dtype=jnp.float32,
                          name="bn2")(y.astype(jnp.float32))
         y = nn.relu(y).astype(self.dtype)
-        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                    kernel_init=conv_init, dtype=self.dtype,
+        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, kernel_init=conv_init, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv2")(y)
         if x.shape[-1] != self.features or self.strides != (1, 1):
             x = nn.Conv(self.features, (1, 1), strides=self.strides,
@@ -209,7 +215,7 @@ class WideResNet(nn.Module):
         n = (self.depth - 4) // 6
         widths = [16, 16 * self.widen, 32 * self.widen, 64 * self.widen]
         feats: List[jax.Array] = []
-        x = nn.Conv(widths[0], (3, 3), padding="SAME", use_bias=False,
+        x = nn.Conv(widths[0], (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                     kernel_init=conv_init, dtype=dtype,
                     param_dtype=jnp.float32, name="stem")(x.astype(dtype))
         feats.append(x)

@@ -98,7 +98,7 @@ def build_fused_optimizer(config, schedule_fn=None) -> FusedOptimizer:
         la_count = state.la_count + 1
         sync = (la_count % la_k == 0) if la_use else False
 
-        def leaf(path, g, p, t, nu, slow):
+        def leaf(path, g, p, t, nu):
             lr, wd_i = _hyper(path)
             g = g.astype(jnp.float32) * scale
             if adam:
@@ -115,14 +115,8 @@ def build_fused_optimizer(config, schedule_fn=None) -> FusedOptimizer:
                 t_new = momentum * t + g if momentum else g
                 nu_new = nu
                 step_dir = t_new
-            fast = p - (lr * mult) * step_dir
-            if la_use:
-                synced = slow + la_alpha * (fast - slow)
-                new_p = jnp.where(sync, synced, fast)
-                new_slow = jnp.where(sync, synced, slow)
-            else:
-                new_p, new_slow = fast, slow
-            return new_p.astype(p.dtype), t_new, nu_new, new_slow
+            fast = (p - (lr * mult) * step_dir).astype(p.dtype)
+            return fast, t_new, nu_new
 
         flat, treedef = jax.tree_util.tree_flatten_with_path(params)
         paths = [_path_str(kp) for kp, _ in flat]
@@ -130,16 +124,53 @@ def build_fused_optimizer(config, schedule_fn=None) -> FusedOptimizer:
         t_leaves = jax.tree.leaves(state.trace)
         nu_leaves = (jax.tree.leaves(state.nu) if adam
                      else [0.0] * len(paths))
-        slow_leaves = (jax.tree.leaves(state.slow_params) if la_use
-                       else [0.0] * len(paths))
-        outs = [leaf(path, g, p, t, nu, slow)
-                for path, (_, p), g, t, nu, slow in zip(
-                    paths, flat, g_leaves, t_leaves, nu_leaves, slow_leaves)]
+        outs = [leaf(path, g, p, t, nu)
+                for path, (_, p), g, t, nu in zip(
+                    paths, flat, g_leaves, t_leaves, nu_leaves)]
         unflatten = treedef.unflatten
-        new_params = unflatten([o[0] for o in outs])
+        fast_params = unflatten([o[0] for o in outs])
         new_trace = unflatten([o[1] for o in outs])
         new_nu = unflatten([o[2] for o in outs]) if adam else {}
-        new_slow = unflatten([o[3] for o in outs]) if la_use else {}
+
+        if la_use:
+            # Lookahead touches the slow weights only every ``la_k``-th
+            # step; a traced `where` would still read+write the full slow
+            # tree every step (~2 x param bytes of pure HBM traffic on the
+            # flagship).  Under lax.cond the false branch is an identity
+            # whose buffers alias the (donated) inputs, so non-sync steps
+            # pay zero slow-weight traffic.
+            #
+            # TPU only: on XLA CPU a conditional thunk in the same program
+            # as in-process collectives serializes replica execution and
+            # deadlocks the collective rendezvous ("Termination timeout
+            # for collective permute ... 1 of 8 arrived") — the 8-virtual-
+            # device validation environment.  There the branchless `where`
+            # form is used; both forms are step-exact (test_optim) and CPU
+            # has no HBM-traffic motive for the cond.
+            def _sync(fast, slow):
+                synced = jax.tree.map(
+                    lambda f, s: (s + la_alpha *
+                                  (f.astype(jnp.float32) - s)).astype(f.dtype),
+                    fast, slow)
+                return synced, synced
+
+            def _nosync(fast, slow):
+                return fast, slow
+
+            if jax.default_backend() == "cpu":
+                synced, _ = _sync(fast_params, state.slow_params)
+                new_params = jax.tree.map(
+                    lambda f, sy: jnp.where(sync, sy, f),
+                    fast_params, synced)
+                new_slow = jax.tree.map(
+                    lambda sl, sy: jnp.where(sync, sy, sl),
+                    state.slow_params, synced)
+            else:
+                new_params, new_slow = jax.lax.cond(
+                    sync, _sync, _nosync, fast_params, state.slow_params)
+        else:
+            new_params, new_slow = fast_params, {}
+
         new_state = FusedOptState(
             trace=new_trace, nu=new_nu, slow_params=new_slow,
             count=state.count + 1, la_count=la_count)

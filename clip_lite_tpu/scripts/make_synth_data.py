@@ -1,0 +1,211 @@
+"""Generate a synthetic LEARNABLE caption corpus in exact COCO layout.
+
+Unlike make_mock_data.py (a 42-record pipeline smoke fixture), this
+produces a corpus whose captions genuinely describe image content —
+colored geometric shapes with varying position / size / background —
+so a model trained on it must learn real vision-language grounding, and
+held-out retrieval / zero-shot accuracy measures that learning (the
+in-environment substitute for BASELINE.md's trained-checkpoint quality
+row; reference metrics: retrieval.py:152-209, zero_shot.py:60-167).
+
+Emits the exact directory layouts the existing tooling consumes, so the
+full production pipeline runs unmodified:
+
+  <out>/coco/images/{train,val}2017/*.jpg      CocoCaptionsDirReader
+  <out>/coco/{train,val}2017 -> images/...     (symlink) ReEvalDataset
+  <out>/coco/annotations/captions_*2017.json   both of the above
+  <out>/imagenet/val/<color>_<shape>/*.jpg     ImageNetDataset (zero-shot)
+
+Pipeline:
+    python -m clip_lite_tpu.scripts.make_synth_data --output-dir /tmp/synth
+    python -m clip_lite_tpu.scripts.coco_preprocess \
+        --data-root /tmp/synth/coco --split train --mode train_sbert \
+        --output-dir /tmp/synth/serialized --short-edge 256
+    python -m clip_lite_tpu.train --config configs/fs_tpu_tuned.yaml ...
+    python -m clip_lite_tpu.retrieval  ... (DATA.ROOT /tmp/synth/coco)
+    python -m clip_lite_tpu.zero_shot  ... (DATA.ROOT /tmp/synth/imagenet)
+
+Every image shows ONE shape in ONE color; captions always name both and
+usually the position / size / background color, drawn from varied
+templates.  (color, shape, position, size, background) has 9216 distinct
+combinations, so val captions are near-unique and retrieval granularity
+is per-image, not per-class.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import cv2
+import numpy as np
+
+parser = argparse.ArgumentParser(
+    description="Synthetic learnable caption corpus (COCO layout).")
+parser.add_argument("--output-dir", required=True)
+parser.add_argument("--train-n", type=int, default=4000)
+parser.add_argument("--val-n", type=int, default=500)
+parser.add_argument("--zeroshot-per-class", type=int, default=8)
+parser.add_argument("--image-size", type=int, default=256)
+parser.add_argument("--seed", type=int, default=0)
+
+# RGB; names appear verbatim in captions and class names.
+COLORS = {
+    "red": (220, 40, 40), "green": (40, 180, 60), "blue": (40, 80, 220),
+    "yellow": (235, 220, 50), "purple": (160, 60, 200),
+    "orange": (240, 140, 30), "cyan": (60, 210, 220),
+    "white": (245, 245, 245),
+}
+SHAPES = ("circle", "square", "triangle", "ring", "cross", "diamond",
+          "star", "stripe")
+POSITIONS = ("top left", "top", "top right", "left", "center", "right",
+             "bottom left", "bottom", "bottom right")
+SIZES = ("small", "large")
+
+_TEMPLATES = (
+    "a {size} {color} {shape} in the {pos} on a {bg} background",
+    "a photo of a {color} {shape} in the {pos} of the frame",
+    "a {size} {color} {shape} over a {bg} backdrop",
+    "there is a {color} {shape} near the {pos}",
+    "a picture showing a {size} {color} {shape} on {bg}",
+    "the {pos} of the image has a {color} {shape}",
+)
+
+
+def _draw_shape(img: np.ndarray, shape: str, color, cx: int, cy: int,
+                r: int) -> None:
+    c = tuple(int(v) for v in color)
+    if shape == "circle":
+        cv2.circle(img, (cx, cy), r, c, -1)
+    elif shape == "ring":
+        cv2.circle(img, (cx, cy), r, c, max(2, r // 3))
+    elif shape == "square":
+        cv2.rectangle(img, (cx - r, cy - r), (cx + r, cy + r), c, -1)
+    elif shape == "diamond":
+        pts = np.array([[cx, cy - r], [cx + r, cy], [cx, cy + r],
+                        [cx - r, cy]])
+        cv2.fillPoly(img, [pts], c)
+    elif shape == "triangle":
+        pts = np.array([[cx, cy - r], [cx + r, cy + r], [cx - r, cy + r]])
+        cv2.fillPoly(img, [pts], c)
+    elif shape == "cross":
+        w = max(2, r // 3)
+        cv2.rectangle(img, (cx - r, cy - w), (cx + r, cy + w), c, -1)
+        cv2.rectangle(img, (cx - w, cy - r), (cx + w, cy + r), c, -1)
+    elif shape == "star":
+        ang = np.arange(10) * np.pi / 5 - np.pi / 2
+        rad = np.where(np.arange(10) % 2 == 0, r, r * 0.45)
+        pts = np.stack([cx + rad * np.cos(ang),
+                        cy + rad * np.sin(ang)], 1).astype(np.int32)
+        cv2.fillPoly(img, [pts], c)
+    elif shape == "stripe":
+        w = max(3, r // 2)
+        cv2.rectangle(img, (cx - r, cy - w), (cx + r, cy + w), c, -1)
+    else:  # pragma: no cover - guarded by SHAPES
+        raise KeyError(shape)
+
+
+def render(rng: np.random.RandomState, size: int, color_name: str,
+           shape: str, pos_idx: int, size_name: str, bg_name: str
+           ) -> np.ndarray:
+    """One (color, shape, position, size, background) scene, with noise
+    and brightness jitter so the mapping is not pixel-trivial."""
+    bg = np.asarray(COLORS[bg_name], np.float32) * rng.uniform(0.25, 0.55)
+    img = np.tile(bg.astype(np.uint8), (size, size, 1)).astype(np.uint8)
+    noise = rng.normal(0, 12, img.shape)
+    img = np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+
+    row, col = divmod(pos_idx, 3)
+    cell = size // 3
+    cx = int(col * cell + cell // 2 + rng.randint(-cell // 6, cell // 6 + 1))
+    cy = int(row * cell + cell // 2 + rng.randint(-cell // 6, cell // 6 + 1))
+    r = (rng.randint(size // 14, size // 9) if size_name == "small"
+         else rng.randint(size // 6, size // 4))
+    color = np.asarray(COLORS[color_name], np.float32) * rng.uniform(.8, 1.)
+    _draw_shape(img, shape, color, cx, cy, r)
+    return img
+
+
+def _captions(rng: np.random.RandomState, color: str, shape: str,
+              pos: str, size_name: str, bg: str, n: int = 2) -> list:
+    picks = rng.choice(len(_TEMPLATES), size=n, replace=False)
+    return [_TEMPLATES[t].format(color=color, shape=shape, pos=pos,
+                                 size=size_name, bg=bg) for t in picks]
+
+
+def _sample_scene(rng: np.random.RandomState):
+    color = list(COLORS)[rng.randint(len(COLORS))]
+    shape = SHAPES[rng.randint(len(SHAPES))]
+    pos_idx = rng.randint(9)
+    size_name = SIZES[rng.randint(2)]
+    bg_choices = [c for c in COLORS if c != color]
+    bg = bg_choices[rng.randint(len(bg_choices))]
+    return color, shape, pos_idx, size_name, bg
+
+
+def _write_split(root: str, split: str, n: int, size: int,
+                 rng: np.random.RandomState) -> None:
+    img_dir = os.path.join(root, "images", f"{split}2017")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+    # ReEvalDataset looks for <root>/{split}2017 (no images/ prefix);
+    # CocoCaptionsDirReader for <root>/images/{split}2017 — link them.
+    link = os.path.join(root, f"{split}2017")
+    if not os.path.exists(link):
+        os.symlink(os.path.join("images", f"{split}2017"), link)
+
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(n):
+        color, shape, pos_idx, size_name, bg = _sample_scene(rng)
+        img = render(rng, size, color, shape, pos_idx, size_name, bg)
+        fname = f"{i:012d}.jpg"
+        cv2.imwrite(os.path.join(img_dir, fname),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 95])
+        images.append({"id": i, "file_name": fname,
+                       "height": size, "width": size})
+        for cap in _captions(rng, color, shape, POSITIONS[pos_idx],
+                             size_name, bg):
+            annotations.append(
+                {"id": ann_id, "image_id": i, "caption": cap})
+            ann_id += 1
+    with open(os.path.join(root, "annotations",
+                           f"captions_{split}2017.json"), "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+    print(f"{split}: {n} images, {len(annotations)} captions")
+
+
+def _write_zeroshot(root: str, per_class: int, size: int,
+                    rng: np.random.RandomState) -> None:
+    """Directory-per-class val set over all 64 (color, shape) classes."""
+    for color in COLORS:
+        for shape in SHAPES:
+            d = os.path.join(root, "val", f"{color}_{shape}")
+            os.makedirs(d, exist_ok=True)
+            for j in range(per_class):
+                pos_idx = rng.randint(9)
+                size_name = SIZES[rng.randint(2)]
+                bg = [c for c in COLORS if c != color][
+                    rng.randint(len(COLORS) - 1)]
+                img = render(rng, size, color, shape, pos_idx, size_name, bg)
+                cv2.imwrite(os.path.join(d, f"{j:05d}.jpg"),
+                            cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                            [cv2.IMWRITE_JPEG_QUALITY, 95])
+    n_cls = len(COLORS) * len(SHAPES)
+    print(f"zero-shot: {n_cls} classes x {per_class} images")
+
+
+def main(args) -> str:
+    rng = np.random.RandomState(args.seed)
+    coco_root = os.path.join(args.output_dir, "coco")
+    _write_split(coco_root, "train", args.train_n, args.image_size, rng)
+    _write_split(coco_root, "val", args.val_n, args.image_size, rng)
+    _write_zeroshot(os.path.join(args.output_dir, "imagenet"),
+                    args.zeroshot_per_class, args.image_size, rng)
+    return coco_root
+
+
+if __name__ == "__main__":
+    main(parser.parse_args())

@@ -52,6 +52,13 @@ def apply_platform_args(args) -> None:
         jax.config.update("jax_platforms", args.platform)
     if args.virtual_devices and args.platform == "cpu":
         jax.config.update("jax_num_cpu_devices", args.virtual_devices)
+        # XLA:CPU's in-process collectives abort the whole process if any
+        # replica thread misses the 40 s rendezvous window; on low-core
+        # hosts the async-dispatch thread racing the replica threads is
+        # enough to trip it (observed on a 1-core box).  Synchronous
+        # dispatch removes that thread — same mitigation as
+        # __graft_entry__._dryrun_leg.
+        jax.config.update("jax_cpu_enable_async_dispatch", False)
     # Persistent compilation cache: the training step contains Pallas
     # (Mosaic) kernels whose first compile costs minutes through the
     # remote-compile tunnel; cached recompiles are sub-second.

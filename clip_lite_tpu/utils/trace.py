@@ -85,22 +85,32 @@ def parse_trace_ops(path: str) -> List[Dict]:
         a = e["args"]
         if "hlo_category" not in a:
             continue
+        cat = a["hlo_category"]
         ops.append({
             "name": e.get("name", ""),
             "tf_op": a.get("tf_op", ""),
-            "category": a["hlo_category"],
+            "category": cat,
             "dur_us": float(e.get("dur", 0.0)),
             "flops": float(a.get("model_flops", 0.0) or 0.0),
-            "bytes": float(a.get("raw_bytes_accessed", 0.0) or 0.0),
+            # Async pairs report the SAME transfer on both halves; keep
+            # the bytes on the ...-done event only (the -start halves are
+            # ~0-duration bookkeeping rows) so totals aren't double
+            # counted.
+            "bytes": (0.0 if cat.endswith("-start")
+                      else float(a.get("raw_bytes_accessed", 0.0) or 0.0)),
         })
     return ops
 
 
 _COMPONENT_RULES = (
-    ("bert", re.compile(r"BertModel|TextEncoder|MPNet")),
-    ("resnet", re.compile(r"ResNet|ImageEncoder|VGG")),
-    ("optimizer", re.compile(r"lookahead|sgd|adam|fused_update|zero1")),
-    ("loss", re.compile(r"loss|critic|discriminator", re.I)),
+    # Matched against jax tf_op scope strings, e.g.
+    # "jit(train_step)/transpose(jvp(VLInfoModel))/image_encoder/backbone/
+    #  layer1_2/block1/...".
+    ("bert", re.compile(r"text_encoder|transformer|BertModel|MPNet")),
+    ("resnet", re.compile(r"image_encoder|backbone|ResNet|VGG")),
+    ("loss", re.compile(r"/loss/|critic|discriminator|global_d")),
+    ("optimizer", re.compile(r"lookahead|sgd|adam|fused|zero1|leaf")),
+    ("unattributed", re.compile(r"^$")),
 )
 
 

@@ -33,6 +33,12 @@ TINY = [
     "OPTIM.NUM_ITERATIONS", 100,
     "OPTIM.WARMUP_STEPS", 2,
     "OPTIM.BATCH_SIZE", 16,
+    # Flagship CNN_LR=0.2 is chaotic on a 16-pair random batch: per-step
+    # divergence amplification makes the 12-step descent check flip on
+    # any (legitimate) float-ordering change.  0.02 is in the stable
+    # descent regime; correctness-at-flagship-LR is pinned elsewhere
+    # (test_trajectory torch parity, test_zero1 equivalence).
+    "OPTIM.CNN_LR", 0.02,
 ]
 
 
