@@ -158,34 +158,51 @@ def zero1_state_from_optax(opt_state, params, mesh: Mesh,
         la_count=jnp.asarray(la_count, jnp.int32))
 
 
-def make_zero1_update(config, schedule_fn, lr_vec, wd_vec, flat_len: int,
+def make_zero1_update(config, schedule_fn,
                       data_axis: str = "data") -> Callable:
-    """Per-shard update: (full_flat_grads, state_shard, full_flat_params)
-    -> (new_full_flat_params, new_state_shard).
+    """Per-shard update: (full_flat_grads, state_shard, full_flat_params,
+    lr_shard, wd_shard) -> (new_full_flat_params, new_state_shard).
 
     Runs INSIDE shard_map. full_flat_* are the replicated padded vectors;
-    state arrays arrive as (K,) shards.
+    state arrays and the hyperparameter vectors arrive as (K,) shards.
+    lr/wd are ARGUMENTS, not closure constants: a closed-over
+    full-parameter-length fp32 vector is baked into the lowered HLO as a
+    literal (2 x ~540 MB for the flagship), which the axon remote-compile
+    tunnel rejects with HTTP 413 (docs/PERF_NOTES.md "Backend landmines")
+    — and passing them pre-sharded also deletes the per-device
+    dynamic_slice the constant version needed.
+
+    On a ONE-device mesh every collective degenerates (scatter/gather are
+    identities, the shard is the whole vector), so the same function also
+    runs under plain jit with the axis unbound — that is the single-chip
+    deployment path (`compile_zero1_train_step` skips shard_map there:
+    sharded dispatch through tunneled backends is ~250x slower, see
+    engine.compile_train_step).
     """
     opt_name = config.OPTIM.OPTIMIZER_NAME
     momentum = config.OPTIM.SGD_MOMENTUM
     clip_norm = config.OPTIM.CLIP_GRAD_NORM
     la = config.OPTIM.LOOKAHEAD
 
-    def update(flat_grads, state: Zero1State, flat_params):
-        n = lax.axis_size(data_axis)
-        idx = lax.axis_index(data_axis)
-        k = flat_grads.shape[0] // n
+    from clip_lite_tpu.parallel.collectives import axis_is_bound
 
-        # Reduce-scatter: mean of my slice across replicas.
-        grad_shard = lax.psum_scatter(
-            flat_grads, data_axis, scatter_dimension=0, tiled=True) / n
-        param_shard = lax.dynamic_slice(flat_params, (idx * k,), (k,))
-        lr_shard = lax.dynamic_slice(lr_vec, (idx * k,), (k,))
-        wd_shard = lax.dynamic_slice(wd_vec, (idx * k,), (k,))
+    def update(flat_grads, state: Zero1State, flat_params,
+               lr_shard, wd_shard):
+        if axis_is_bound(data_axis):
+            n = lax.axis_size(data_axis)
+            idx = lax.axis_index(data_axis)
+            k = flat_grads.shape[0] // n
+            # Reduce-scatter: mean of my slice across replicas.
+            grad_shard = lax.psum_scatter(
+                flat_grads, data_axis, scatter_dimension=0, tiled=True) / n
+            param_shard = lax.dynamic_slice(flat_params, (idx * k,), (k,))
+            sq = lax.psum(jnp.sum(grad_shard * grad_shard), data_axis)
+        else:
+            grad_shard, param_shard = flat_grads, flat_params
+            sq = jnp.sum(grad_shard * grad_shard)
 
         # Global-norm clip of the MEAN gradient (matches
         # optax.clip_by_global_norm over the pmean'd tree).
-        sq = lax.psum(jnp.sum(grad_shard * grad_shard), data_axis)
         gnorm = jnp.sqrt(sq)
         if clip_norm and clip_norm > 0:
             scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-16))
@@ -221,16 +238,33 @@ def make_zero1_update(config, schedule_fn, lr_vec, wd_vec, flat_len: int,
         if la.USE:
             la_count = state.la_count + 1
             sync = (la_count % la.STEPS == 0)
-            synced = state.slow_params + la.ALPHA * (fast - state.slow_params)
-            new_param_shard = jnp.where(sync, synced, fast)
-            new_slow = jnp.where(sync, synced, state.slow_params)
+            if not axis_is_bound(data_axis) and \
+                    jax.default_backend() != "cpu":
+                # Single-device TPU: lax.cond skips the slow-vector
+                # read+write entirely on non-sync steps (~2x param bytes
+                # of HBM traffic; same rationale as optim/fused.py).
+                def _sync(f, s):
+                    out = s + la.ALPHA * (f - s)
+                    return out, out
+
+                new_param_shard, new_slow = lax.cond(
+                    sync, _sync, lambda f, s: (f, s),
+                    fast, state.slow_params)
+            else:
+                synced = state.slow_params + la.ALPHA * (
+                    fast - state.slow_params)
+                new_param_shard = jnp.where(sync, synced, fast)
+                new_slow = jnp.where(sync, synced, state.slow_params)
         else:
             la_count = state.la_count
             new_param_shard = fast
             new_slow = state.slow_params
 
-        new_flat_params = lax.all_gather(
-            new_param_shard, data_axis, tiled=True)
+        if axis_is_bound(data_axis):
+            new_flat_params = lax.all_gather(
+                new_param_shard, data_axis, tiled=True)
+        else:
+            new_flat_params = new_param_shard
         new_state = Zero1State(
             momentum=new_momentum, nu=new_nu, slow_params=new_slow,
             count=count + 1, la_count=la_count)
@@ -262,12 +296,15 @@ def compile_zero1_train_step(model, config, mesh: Mesh,
     n = mesh.devices.size
     k = -(-flat_len // n)
     total = n * k
-    lr_vec = _pad_to(lr_vec, total)
-    wd_vec = _pad_to(wd_vec, total)
-    update_fn = make_zero1_update(config, schedule_fn, lr_vec, wd_vec,
-                                  flat_len, data_axis)
+    # Device-resident, sharded like the optimizer state (each device holds
+    # only its (K,) slice); passed as step ARGUMENTS — see make_zero1_update
+    # for why they must not be closure constants.
+    vec_sharding = NamedSharding(mesh, P(data_axis))
+    lr_vec = jax.device_put(_pad_to(lr_vec, total), vec_sharding)
+    wd_vec = jax.device_put(_pad_to(wd_vec, total), vec_sharding)
+    update_fn = make_zero1_update(config, schedule_fn, data_axis)
 
-    def step(state: TrainState, batch, rng):
+    def step(state: TrainState, batch, rng, lr, wd):
         step_rng = _fold_device_rng(jax.random.fold_in(rng, state.step),
                                     data_axis)
         prior_rng, dropout_rng, aug_rng = jax.random.split(step_rng, 3)
@@ -283,8 +320,11 @@ def compile_zero1_train_step(model, config, mesh: Mesh,
 
         (loss, (components, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        components = lax.pmean(components, data_axis)
-        new_stats = lax.pmean(new_stats, data_axis)
+        from clip_lite_tpu.parallel.collectives import axis_is_bound
+
+        if axis_is_bound(data_axis):
+            components = lax.pmean(components, data_axis)
+            new_stats = lax.pmean(new_stats, data_axis)
 
         flat_grads, _ = ravel_pytree(grads)
         flat_grads = _pad_to(flat_grads.astype(jnp.float32), total)
@@ -292,7 +332,7 @@ def compile_zero1_train_step(model, config, mesh: Mesh,
         flat_params = _pad_to(flat_params.astype(jnp.float32), total)
 
         new_flat, new_opt, gnorm = update_fn(
-            flat_grads, state.opt_state, flat_params)
+            flat_grads, state.opt_state, flat_params, lr, wd)
         new_params = unravel(new_flat[:flat_len])
 
         metrics = dict(components)
@@ -300,6 +340,19 @@ def compile_zero1_train_step(model, config, mesh: Mesh,
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_stats, opt_state=new_opt)
         return new_state, metrics
+
+    from clip_lite_tpu.parallel.mesh import donation_supported
+
+    if mesh.devices.size == 1:
+        # Single device: every collective in the update degenerates to an
+        # identity (the shard IS the whole vector), so plain jit has
+        # identical semantics — and avoids shard_map's sharded-dispatch
+        # path, ~250x slower on tunneled backends (engine.compile_train_step
+        # makes the same call for the replicated step).
+        donate = (0,) if donation_supported(mesh) else ()
+        jitted = jax.jit(step, donate_argnums=donate)
+        return lambda state, batch, rng: jitted(state, batch, rng,
+                                                lr_vec, wd_vec)
 
     sharded = jax.shard_map(
         step, mesh=mesh,
@@ -309,7 +362,7 @@ def compile_zero1_train_step(model, config, mesh: Mesh,
                                  momentum=P(data_axis), nu=P(data_axis),
                                  slow_params=P(data_axis), count=P(),
                                  la_count=P())),
-                  P(data_axis), P()),
+                  P(data_axis), P(), P(data_axis), P(data_axis)),
         out_specs=(TrainState(step=P(), params=P(), batch_stats=P(),
                               opt_state=Zero1State(
                                   momentum=P(data_axis), nu=P(data_axis),
@@ -321,7 +374,7 @@ def compile_zero1_train_step(model, config, mesh: Mesh,
         # checker can't prove it); disable the check for this map.
         check_vma=False,
     )
-    from clip_lite_tpu.parallel.mesh import donation_supported
-
     donate = (0,) if donation_supported(mesh) else ()
-    return jax.jit(sharded, donate_argnums=donate)
+    jitted = jax.jit(sharded, donate_argnums=donate)
+    return lambda state, batch, rng: jitted(state, batch, rng,
+                                            lr_vec, wd_vec)

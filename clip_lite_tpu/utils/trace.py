@@ -125,16 +125,26 @@ def roofline_summary(ops: List[Dict], n_steps: int,
                      peak_tflops: float, hbm_gbps: float) -> Dict:
     """Aggregate a trace into measured-vs-roofline per step.
 
-    Per-op floor = max(bytes / HBM_BW, flops / peak): an op can't run
-    faster than its slower wall.  Summed over ops this is the program's
-    bandwidth-aware roofline — reachable only with perfect overlap and
-    zero launch overhead, so treat it as the floor, not a target.
+    Per-op floor = max(flops / peak, min(bytes / HBM_BW, dur)): an op
+    can't run faster than its slower wall.  The bytes leg is clamped at
+    the op's measured duration because XLA's ``raw_bytes_accessed``
+    counts every operand access including VMEM-resident re-reads —
+    round-2 traces showed hot convs "moving" 814-1022 GB/s against the
+    819 GB/s nominal HBM, i.e. the byte counts overshoot true HBM
+    traffic by up to ~25%, and an unclamped sum can exceed the measured
+    step (a roofline must be a floor).  With the clamp, an op already at
+    the wall claims no slack and a launch-bound op claims its full gap.
+    Summed over ops this is the program's bandwidth-aware roofline —
+    reachable only with perfect overlap and zero launch overhead, so
+    treat it as the floor, not a target.
     """
     measured_us = sum(o["dur_us"] for o in ops)
     flops_us = sum(o["flops"] / (peak_tflops * 1e6) for o in ops)
-    bytes_us = sum(o["bytes"] / (hbm_gbps * 1e3) for o in ops)
+    bytes_us = sum(min(o["bytes"] / (hbm_gbps * 1e3), o["dur_us"])
+                   for o in ops)
     bound_us = sum(max(o["flops"] / (peak_tflops * 1e6),
-                       o["bytes"] / (hbm_gbps * 1e3)) for o in ops)
+                       min(o["bytes"] / (hbm_gbps * 1e3), o["dur_us"]))
+                   for o in ops)
 
     by_cat = defaultdict(lambda: {"ms": 0.0, "gbytes": 0.0, "n": 0})
     by_comp = defaultdict(lambda: {"ms": 0.0, "gbytes": 0.0, "n": 0})

@@ -108,3 +108,36 @@ def test_flat_hyperparams_group_lrs():
     # nothing; see optim/__init__.py docstring)
     np.testing.assert_allclose(np.unique(np.asarray(wd_vec)),
                                [cfg.OPTIM.WEIGHT_DECAY], rtol=1e-6)
+
+
+def test_zero1_single_device_matches_replicated():
+    """The 1-device mesh takes the plain-jit fallback (no shard_map, no
+    collectives — the single-chip deployment path of PARALLEL.ZERO1
+    configs like fs_tpu_tuned.yaml); it must walk the same trajectory as
+    the replicated optax chain, including the Lookahead sync at step 5."""
+    from clip_lite_tpu.parallel.zero1 import zero1_state_from_optax
+
+    cfg = Config(override_list=TINY)
+    model = PretrainingModelFactory.from_config(cfg)
+    tx = OptimizerFactory.from_config(cfg)
+    batch = tiny_batch()
+    mesh = create_mesh(num_devices=1)
+
+    state_rep = create_train_state(model, tx, batch)
+    step_rep = compile_train_step(model, tx, mesh, donate=False)
+    step_z = compile_zero1_train_step(model, cfg, mesh, state_rep.params)
+
+    state_z = state_rep.replace(opt_state=zero1_state_from_optax(
+        state_rep.opt_state, state_rep.params, mesh))
+    db = shard_batch(batch, mesh)
+    rng = jax.random.PRNGKey(0)
+    for i in range(6):
+        state_rep, m_rep = step_rep(state_rep, db, rng)
+        state_z, m_z = step_z(state_z, db, rng)
+        np.testing.assert_allclose(float(m_rep["grad_norm"]),
+                                   float(m_z["grad_norm"]), rtol=1e-4)
+        flat_rep = jax.flatten_util.ravel_pytree(state_rep.params)[0]
+        flat_z = jax.flatten_util.ravel_pytree(state_z.params)[0]
+        np.testing.assert_allclose(np.asarray(flat_z), np.asarray(flat_rep),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=f"step {i + 1}")
