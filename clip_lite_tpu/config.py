@@ -261,6 +261,17 @@ class Config:
         # grouped shuffling is the standard trade of batch-composition
         # randomness for padding efficiency).
         _C.DATA.LENGTH_GROUP_BATCHES = 32
+        # HBM-resident dataset cache (data/device_cache.py): decode +
+        # tokenize the whole corpus once, keep it on device, and assemble
+        # every training batch with one compiled gather+crop program —
+        # removes the host input pipeline from the steady-state loop
+        # entirely.  Only for corpora that fit in device memory
+        # (N x CACHE_IMAGE_SIZE^2 x 3 bytes).  See the module docstring
+        # for the (documented) sampling-semantics differences.
+        _C.DATA.DEVICE_CACHE = False
+        # Square tile size images are cached at; training takes random
+        # IMAGE_CROP_SIZE crops of it on device.
+        _C.DATA.CACHE_IMAGE_SIZE = 256
 
         # -----------------------------------------------------------------
         #   Model architecture: visual backbone and textual head.

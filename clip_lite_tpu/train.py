@@ -149,6 +149,10 @@ def main(_A) -> None:
         logger.warning("PARALLEL.ZERO1 on a single-device mesh shards "
                        "nothing; using the replicated update instead")
         use_zero1 = False
+    use_device_cache = bool(_C.DATA.DEVICE_CACHE)
+    if use_device_cache and (use_clusters or steps_per_call > 1):
+        raise ValueError("DATA.DEVICE_CACHE is incompatible with cluster "
+                         "negative sampling and STEPS_PER_CALL > 1")
 
     # Decide the curriculum phase BEFORE building any loader: resume peeks
     # only the stored iteration (reference: train.py:151-163 decides the
@@ -164,7 +168,22 @@ def main(_A) -> None:
 
     train_loader, val_loader = init_dataloaders(
         _C, _A, mesh, kind, train_put=(steps_per_call == 1))
-    batches = infinite_batches(train_loader, start_iteration)
+    if use_device_cache:
+        from clip_lite_tpu.data.device_cache import DeviceDataCache
+
+        cache = DeviceDataCache(
+            train_loader.dataset, mesh, _C.OPTIM.BATCH_SIZE,
+            _C.PARALLEL.DATA_AXIS, cache_size=_C.DATA.CACHE_IMAGE_SIZE,
+            crop_size=_C.DATA.IMAGE_CROP_SIZE,
+            seq_buckets=_C.DATA.SEQ_BUCKETS, seed=_C.RANDOM_SEED)
+        cache.set_start(start_iteration)
+        batches = iter(cache)
+        logger.info("Device-resident dataset cache: %d items, %.2f GB "
+                    "in HBM; host pipeline out of the loop",
+                    len(train_loader.dataset),
+                    cache.memory_bytes() / 1e9)
+    else:
+        batches = infinite_batches(train_loader, start_iteration)
     first_batch = next(batches)
 
     state = create_train_state(model, tx, first_batch, seed=_C.RANDOM_SEED)

@@ -1,0 +1,143 @@
+"""HBM-resident dataset cache (data/device_cache.py): determinism,
+shapes, crop provenance, static sequence trimming, end-to-end step.
+
+The cache replaces the host input pipeline with a compiled on-device
+sampler when the corpus fits in device memory — no reference
+counterpart (its DataLoader always round-trips the host,
+reference: train.py:78-117)."""
+
+import numpy as np
+import pytest
+
+from clip_lite_tpu.config import Config
+from clip_lite_tpu.data.device_cache import DeviceDataCache
+from clip_lite_tpu.data.readers import ClRecWriter, encode_image
+from clip_lite_tpu.factories import PretrainingDatasetFactory
+from clip_lite_tpu.parallel import create_mesh
+
+N_ITEMS = 12
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Tiny CLRec corpus of solid-color JPEG tiles: crop provenance is
+    checkable because every pixel of item i carries its identity."""
+    root = tmp_path_factory.mktemp("dc")
+    rng = np.random.default_rng(0)
+    path = str(root / "coco_train_train_sbert2017.clrec")
+    with ClRecWriter(path) as w:
+        for i in range(N_ITEMS):
+            # Solid color per item + mild noise that survives JPEG.
+            base = np.array([20 * i + 10, 255 - 20 * i, 128], np.uint8)
+            img = np.broadcast_to(base, (80, 100, 3)).copy()
+            img += rng.integers(0, 4, img.shape).astype(np.uint8)
+            caps = [f"number {i} tile in a plain image",
+                    f"tile {i}"][: (i % 2) + 1]
+            w.append({"image_id": 1000 + i,
+                      "image": encode_image(img),
+                      "captions": caps})
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def cache(corpus):
+    cfg = Config(override_list=[
+        "MODEL.NAME", "captions", "DATA.NAME", "train_sbert",
+        "DATA.ROOT", corpus, "MODEL.TEXTUAL.VOCAB_SIZE", 30522,
+    ])
+    ds = PretrainingDatasetFactory.from_config(cfg, split="train")
+    mesh = create_mesh(num_devices=8)
+    return DeviceDataCache(ds, mesh, batch_size=8, cache_size=64,
+                           crop_size=48, seq_buckets=[12, 20], seed=3)
+
+
+def test_shapes_and_dtypes(cache):
+    b = cache.batch_at(0)
+    assert b["image"].shape == (8, 48, 48, 3)
+    assert b["image"].dtype == np.uint8
+    # Static trim: every caption fits the smallest bucket (<= 12 tokens).
+    assert b["input_ids"].shape == (8, 12)
+    assert b["attention_mask"].shape == (8, 12)
+    assert b["image_id"].shape == (8,)
+
+
+def test_pure_function_of_step(cache):
+    a1 = {k: np.asarray(v) for k, v in cache.batch_at(7).items()}
+    a2 = {k: np.asarray(v) for k, v in cache.batch_at(7).items()}
+    b = {k: np.asarray(v) for k, v in cache.batch_at(8).items()}
+    for k in a1:
+        np.testing.assert_array_equal(a1[k], a2[k])
+    assert any(not np.array_equal(a1[k], b[k]) for k in a1)
+
+
+def test_iter_respects_start(cache):
+    cache.set_start(5)
+    it = iter(cache)
+    got = {k: np.asarray(v) for k, v in next(it).items()}
+    want = {k: np.asarray(v) for k, v in cache.batch_at(5).items()}
+    for k in got:
+        np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_crops_come_from_their_source_image(cache):
+    """Solid-color corpus: each crop's mean color identifies its source
+    item; it must match the sampled image_id."""
+    tiles = np.asarray(cache._images)           # (N, 64, 64, 3)
+    ids = np.asarray(cache._image_ids)
+    batch = cache.batch_at(11)
+    imgs = np.asarray(batch["image"]).astype(np.float32)
+    bids = np.asarray(batch["image_id"])
+    tile_means = tiles.reshape(N_ITEMS, -1, 3).mean(axis=1)
+    for j in range(imgs.shape[0]):
+        crop_mean = imgs[j].reshape(-1, 3).mean(axis=0)
+        src = int(np.argmin(
+            np.abs(tile_means - crop_mean).sum(axis=-1)))
+        assert ids[src] == bids[j]
+
+
+def test_caption_index_in_range(cache):
+    """Odd items have 2 captions, even items 1; sampled ids must always
+    decode to a real (non-padding) caption of the sampled item."""
+    ids_cache = np.asarray(cache._ids)
+    n_caps = np.asarray(cache._n_caps)
+    id_list = np.asarray(cache._image_ids).tolist()
+    for step in range(4):
+        b = cache.batch_at(step)
+        bids = np.asarray(b["input_ids"])
+        for j, img_id in enumerate(np.asarray(b["image_id"])):
+            i = id_list.index(int(img_id))
+            rows = ids_cache[i, :n_caps[i], :bids.shape[1]]
+            assert any(np.array_equal(bids[j], r) for r in rows)
+
+
+def test_train_step_runs_from_cache(corpus):
+    """One engine step straight off cached batches (uint8 path exercises
+    the device-side flip/jitter/normalize tail)."""
+    import jax
+
+    from clip_lite_tpu.engine import compile_train_step, create_train_state
+    from clip_lite_tpu.factories import (
+        OptimizerFactory,
+        PretrainingModelFactory,
+    )
+
+    cfg = Config(override_list=[
+        "MODEL.NAME", "captions", "DATA.NAME", "train_sbert",
+        "DATA.ROOT", corpus,
+        "MODEL.VISUAL.NETWORK_NAME", "resnet18",
+        "MODEL.VISUAL.FEATURE_SIZE", 512,
+        "MODEL.TEXTUAL.NUM_HIDDEN_LAYERS", 2,
+        "DATA.IMAGE_CROP_SIZE", 48,
+        "OPTIM.BATCH_SIZE", 8,
+    ])
+    ds = PretrainingDatasetFactory.from_config(cfg, split="train")
+    mesh = create_mesh(num_devices=8)
+    cache = DeviceDataCache(ds, mesh, batch_size=8, cache_size=64,
+                            crop_size=48, seed=0)
+    model = PretrainingModelFactory.from_config(cfg)
+    tx = OptimizerFactory.from_config(cfg)
+    batch = cache.batch_at(0)
+    state = create_train_state(model, tx, batch)
+    step = compile_train_step(model, tx, mesh, donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
