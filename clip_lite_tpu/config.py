@@ -291,6 +291,12 @@ class Config:
         # per-device statistics (reference DDP semantics), "sync"
         # cross-replica statistics (quality upgrade; uses axis_name psum).
         _C.MODEL.VISUAL.BN_MODE = "local"
+        # Per-block rematerialization (ResNets): recompute block
+        # activations in the backward pass instead of storing them —
+        # trades MXU FLOPs (abundant) for HBM bytes (the binding
+        # constraint; ResNet-50 training is bandwidth-bound, see
+        # docs/PERF_NOTES.md).  Exact same math, bitwise-identical params.
+        _C.MODEL.VISUAL.REMAT = False
 
         _C.MODEL.TEXTUAL = ConfigNode()
         _C.MODEL.TEXTUAL.NAME = "train_sbert"

@@ -76,6 +76,7 @@ class VisualBackboneFactory(Factory):
             dtype_name=_C.DTYPE if _C.AMP else "float32",
             bn_mode=_C.MODEL.VISUAL.BN_MODE,
             data_axis=_C.PARALLEL.DATA_AXIS,
+            remat=_C.MODEL.VISUAL.REMAT,
         )
 
 

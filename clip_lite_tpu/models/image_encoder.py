@@ -40,6 +40,7 @@ class ImageEncoder(nn.Module):
     dtype_name: str = "float32"
     bn_mode: str = "local"  # {"local", "sync"}
     data_axis: str = "data"
+    remat: bool = False  # per-block rematerialization (ResNets only)
 
     def setup(self):
         if self.img_enc_net not in BACKBONES:
@@ -53,6 +54,7 @@ class ImageEncoder(nn.Module):
         )
         if self.img_enc_net in RESNETS:
             kwargs["num_classes"] = None  # feature extractor (fc chopped)
+            kwargs["remat"] = self.remat
         self.backbone = BACKBONES[self.img_enc_net](**kwargs)
 
     @property
