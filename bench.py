@@ -110,7 +110,16 @@ def _measure(per_chip_batch: int, steps_per_call: int = 1,
 
     apply_rng_impl(cfg)  # rbg bit generation (config default)
     model = PretrainingModelFactory.from_config(cfg)
-    tx = OptimizerFactory.from_config(cfg)
+    # Hoisted Lookahead, as train.py runs it on TPU: the sync is a
+    # separate compiled call every k-th step (its cost is INCLUDED in the
+    # timed loop below at the true cadence).
+    hoist_la = devices[0].platform == "tpu" and steps_per_call <= 1
+    tx = OptimizerFactory.from_config(cfg, hoist_lookahead=hoist_la)
+    la_k = cfg.OPTIM.LOOKAHEAD.STEPS
+    if hoist_la:
+        from clip_lite_tpu.optim.fused import build_lookahead_sync
+
+        la_sync = build_lookahead_sync(cfg)
 
     def make_batch(s):
         rng = np.random.RandomState(0)
@@ -140,15 +149,26 @@ def _measure(per_chip_batch: int, steps_per_call: int = 1,
     # Warmup (compile + steady calls). NOTE: on the axon tunnel backend
     # block_until_ready does not synchronize; fetching a scalar that
     # data-depends on the full step chain does.
+    it = 0
+
+    def one_step():
+        nonlocal state, it
+        state, m = step(state, device_batch, key)
+        it += 1
+        if hoist_la and it % la_k == 0:
+            p, s = la_sync(state.params, state.opt_state.slow_params)
+            state = state.replace(
+                params=p, opt_state=state.opt_state._replace(slow_params=s))
+        return m
+
     for _ in range(2):
-        state, metrics = step(state, device_batch, key)
+        metrics = one_step()
     _ = float(metrics["total_loss"])
 
     def timed(n_calls):
-        nonlocal state
         t0 = time.perf_counter()
         for _ in range(n_calls):
-            state, m = step(state, device_batch, key)
+            m = one_step()
         _ = float(m["total_loss"])  # sync: depends on the whole chain
         return batch_size * steps_per_call * n_calls / (
             time.perf_counter() - t0) / n_chips
@@ -176,9 +196,8 @@ def _measure(per_chip_batch: int, steps_per_call: int = 1,
         n_trace = 3
 
         def run():
-            nonlocal state
             for _ in range(n_trace):
-                state, m = step(state, device_batch, key)
+                m = one_step()
             _ = float(m["total_loss"])
 
         summary = trace_step_roofline(run, n_trace,
@@ -198,7 +217,7 @@ def _measure(per_chip_batch: int, steps_per_call: int = 1,
             batch30 = stack_batches([batch30] * steps_per_call)
         device_batch = put(batch30)
         for _ in range(2):
-            state, metrics = step(state, device_batch, key)
+            metrics = one_step()
         _ = float(metrics["total_loss"])
         result["s30_img_per_sec"] = round(timed(n_calls), 2)
 

@@ -159,14 +159,18 @@ class OptimizerFactory(Factory):
     """
 
     @classmethod
-    def from_config(cls, config: Config, schedule_fn=None) -> Any:
+    def from_config(cls, config: Config, schedule_fn=None,
+                    hoist_lookahead: bool = False) -> Any:
         if config.OPTIM.FUSED:
             # Single-pass fused update (optim/fused.py): same math, one
             # kernel per leaf instead of one per chain stage — the optax
             # chain measured 20.8 ms/step standalone on the flagship tree.
             from clip_lite_tpu.optim.fused import build_fused_optimizer
 
-            return build_fused_optimizer(config, schedule_fn=schedule_fn)
+            return build_fused_optimizer(config, schedule_fn=schedule_fn,
+                                         hoist_lookahead=hoist_lookahead)
+        if hoist_lookahead:
+            raise ValueError("hoist_lookahead requires OPTIM.FUSED")
         from clip_lite_tpu.optim import build_optimizer
 
         return build_optimizer(config, schedule_fn=schedule_fn)

@@ -47,7 +47,17 @@ class FusedOptimizer(NamedTuple):
     #                              (new_params, new_state, grad_norm)
 
 
-def build_fused_optimizer(config, schedule_fn=None) -> FusedOptimizer:
+def build_fused_optimizer(config, schedule_fn=None,
+                          hoist_lookahead: bool = False) -> FusedOptimizer:
+    """``hoist_lookahead=True`` leaves the Lookahead sync OUT of the
+    per-step apply: the training loop calls ``build_lookahead_sync``'s
+    program every k-th step instead.  Without buffer donation (the
+    tunneled-TPU case, parallel/mesh.donation_supported) the in-step
+    ``lax.cond``'s identity branch copies the full slow tree + params
+    every step (~1.4 ms on the flagship); hoisted, non-sync steps pass
+    ``slow_params`` through jit untouched (aliased, zero traffic) and
+    only every k-th step pays the sync.  Trajectory-exact vs the in-step
+    form at the same cadence (tests/test_optim.py)."""
     import re
 
     from clip_lite_tpu.factories import LRSchedulerFactory
@@ -132,7 +142,13 @@ def build_fused_optimizer(config, schedule_fn=None) -> FusedOptimizer:
         new_trace = unflatten([o[1] for o in outs])
         new_nu = unflatten([o[2] for o in outs]) if adam else {}
 
-        if la_use:
+        if la_use and hoist_lookahead:
+            # Sync happens in the loop's separate program (see the
+            # build_fused_optimizer docstring); here the slow tree is a
+            # pure pass-through (jit aliases untouched inputs to outputs
+            # — no copy, no cond).
+            new_params, new_slow = fast_params, state.slow_params
+        elif la_use:
             # Lookahead touches the slow weights only every ``la_k``-th
             # step; a traced `where` would still read+write the full slow
             # tree every step (~2 x param bytes of pure HBM traffic on the
@@ -177,3 +193,21 @@ def build_fused_optimizer(config, schedule_fn=None) -> FusedOptimizer:
         return new_params, new_state, gnorm
 
     return FusedOptimizer(init=init, apply=apply)
+
+
+def build_lookahead_sync(config) -> Callable:
+    """Compiled Lookahead sync for the hoisted mode: (params, slow) ->
+    (new_params, new_slow).  Exactly the in-step ``_sync`` math; the
+    training loop calls it when ``iteration % OPTIM.LOOKAHEAD.STEPS == 0``
+    (the same cadence the in-step counter produces)."""
+    la_alpha = config.OPTIM.LOOKAHEAD.ALPHA
+
+    @jax.jit
+    def sync(params, slow):
+        synced = jax.tree.map(
+            lambda f, s: (s + la_alpha *
+                          (f.astype(jnp.float32) - s)).astype(f.dtype),
+            params, slow)
+        return synced, synced
+
+    return sync

@@ -273,6 +273,27 @@ def make_zero1_update(config, schedule_fn,
     return update
 
 
+def _bind_hyper_vecs(jitted, lr_vec, wd_vec):
+    """Bind the device-resident lr/wd vectors as trailing call arguments,
+    preserving the (state, batch, rng) signature AND the jit ``.lower``
+    AOT surface (__graft_entry__ compile-checks steps via .lower)."""
+    def step_fn(state, batch, rng):
+        return jitted(state, batch, rng, lr_vec, wd_vec)
+
+    class _BoundLowered:
+        """AOT handle matching the 3-arg signature callers see."""
+
+        def __init__(self, s, b, r):
+            self._compiled = jitted.lower(s, b, r, lr_vec, wd_vec)
+
+        def compile(self):
+            compiled = self._compiled.compile()
+            return lambda s, b, r: compiled(s, b, r, lr_vec, wd_vec)
+
+    step_fn.lower = _BoundLowered
+    return step_fn
+
+
 def compile_zero1_train_step(model, config, mesh: Mesh,
                              sample_params, schedule_fn=None,
                              data_axis: str = "data") -> Callable:
@@ -351,8 +372,7 @@ def compile_zero1_train_step(model, config, mesh: Mesh,
         # makes the same call for the replicated step).
         donate = (0,) if donation_supported(mesh) else ()
         jitted = jax.jit(step, donate_argnums=donate)
-        return lambda state, batch, rng: jitted(state, batch, rng,
-                                                lr_vec, wd_vec)
+        return _bind_hyper_vecs(jitted, lr_vec, wd_vec)
 
     sharded = jax.shard_map(
         step, mesh=mesh,
@@ -376,5 +396,4 @@ def compile_zero1_train_step(model, config, mesh: Mesh,
     )
     donate = (0,) if donation_supported(mesh) else ()
     jitted = jax.jit(sharded, donate_argnums=donate)
-    return lambda state, batch, rng: jitted(state, batch, rng,
-                                            lr_vec, wd_vec)
+    return _bind_hyper_vecs(jitted, lr_vec, wd_vec)

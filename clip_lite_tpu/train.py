@@ -131,7 +131,22 @@ def main(_A) -> None:
         raise ValueError("OPTIM.BATCH_SIZE must divide the device count")
 
     model = PretrainingModelFactory.from_config(_C)
-    tx = OptimizerFactory.from_config(_C)
+    # Hoisted Lookahead: on TPU, keep the sync out of the hot step and run
+    # it as a separate compiled call every k-th iteration — without buffer
+    # donation the in-step cond's identity branch copies params + slow
+    # weights every step (optim/fused.py build_fused_optimizer docstring).
+    la_cfg = _C.OPTIM.LOOKAHEAD
+    hoist_la = (_C.OPTIM.FUSED and la_cfg.USE
+                and max(1, _C.PARALLEL.STEPS_PER_CALL) == 1
+                and not (_C.PARALLEL.ZERO1 and n_dev > 1)
+                and mesh.devices.flat[0].platform == "tpu")
+    tx = OptimizerFactory.from_config(_C, hoist_lookahead=hoist_la)
+    if hoist_la:
+        from clip_lite_tpu.optim.fused import build_lookahead_sync
+
+        la_sync = build_lookahead_sync(_C)
+        logger.info("Lookahead sync hoisted out of the step program "
+                    "(separate call every %d iterations)", la_cfg.STEPS)
 
     use_clusters = "clusters" in _C.DATA.NEGATIVE_SAMPLING
     switch_iter = _C.DATA.NEGATIVE_SAMPLING_START_ITERATION
@@ -278,6 +293,10 @@ def main(_A) -> None:
 
         timer.tic()
         state, metrics = train_step(state, batch, rng)
+        if hoist_la and iteration % la_cfg.STEPS == 0:
+            p, s = la_sync(state.params, state.opt_state.slow_params)
+            state = state.replace(
+                params=p, opt_state=state.opt_state._replace(slow_params=s))
         if sync_steps:
             jax.block_until_ready(state)
         batch = next_train_input()  # overlap host fetch with device step

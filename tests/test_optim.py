@@ -241,6 +241,53 @@ def test_fused_matches_chain_no_lookahead():
     _fused_case("sgd", lookahead_on=False)
 
 
+def test_hoisted_lookahead_matches_inline():
+    """Hoisted mode (sync out of apply, run by the caller every k-th
+    step — the TPU train-loop form) walks the exact same trajectory as
+    the in-step Lookahead, including slow weights."""
+    from clip_lite_tpu.optim.fused import (
+        build_fused_optimizer,
+        build_lookahead_sync,
+    )
+
+    k = 3
+    cfg = Config(override_list=[
+        "OPTIM.OPTIMIZER_NAME", "sgd",
+        "OPTIM.LOOKAHEAD.USE", True, "OPTIM.LOOKAHEAD.STEPS", k,
+        "OPTIM.WARMUP_STEPS", 2, "OPTIM.NUM_ITERATIONS", 50,
+        "OPTIM.CLIP_GRAD_NORM", 1.0, "OPTIM.WEIGHT_DECAY", 1e-4,
+    ])
+    rng = np.random.RandomState(0)
+    params = {
+        "image_encoder": {"w": jnp.asarray(rng.randn(8, 16), jnp.float32)},
+        "loss": {"temperature": jnp.asarray(2.65926, jnp.float32)},
+    }
+    inline = build_fused_optimizer(cfg)
+    hoisted = build_fused_optimizer(cfg, hoist_lookahead=True)
+    sync = build_lookahead_sync(cfg)
+    i_s, h_s = inline.init(params), hoisted.init(params)
+    i_p, h_p = params, params
+    for i in range(1, 8):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(
+                np.random.RandomState(100 + i).randn(*p.shape) * 0.1,
+                jnp.float32), i_p)
+        i_p, i_s, _ = inline.apply(grads, i_s, i_p)
+        h_p, h_s, _ = hoisted.apply(grads, h_s, h_p)
+        if i % k == 0:
+            new_p, new_slow = sync(h_p, h_s.slow_params)
+            h_p, h_s = new_p, h_s._replace(slow_params=new_slow)
+        for a, b in zip(jax.tree.leaves(i_p), jax.tree.leaves(h_p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7,
+                                       err_msg=f"params step {i}")
+        for a, b in zip(jax.tree.leaves(i_s.slow_params),
+                        jax.tree.leaves(h_s.slow_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7,
+                                       err_msg=f"slow step {i}")
+
+
 def test_fused_slow_params_accessible():
     cp, _, fs = _fused_case("sgd", lookahead_on=True)
     slow = slow_params_from_state(fs, params=cp)
