@@ -183,11 +183,21 @@ def spice_score(predictions: Dict[str, List[str]],
 class CocoCaptionsEvaluator:
     """Caption evaluation harness (reference: utils/metrics.py:76-126).
 
-    Returns ``{"CIDEr": float, "SPICE": float | None}`` — the reference
-    contract computes both; SPICE needs the Java toolchain
-    (:func:`spice_available`), and when it is absent the key is reported
-    as ``None`` (machine-readable "not computed") rather than dropped,
-    so downstream result parsing keeps working either way.
+    Returns ``{"CIDEr": float, "SPICE": float | None, "tokenizer":
+    "builtin-ptb-approx"}`` — the reference contract computes both
+    scores; SPICE needs the Java toolchain (:func:`spice_available`),
+    and when it is absent the key is reported as ``None``
+    (machine-readable "not computed") rather than dropped, so downstream
+    result parsing keeps working either way.
+
+    CAVEAT, flagged to callers via the ``"tokenizer"`` key: candidate and
+    reference captions are tokenized with :func:`ptb_tokenize`, a
+    lightweight approximation of the Stanford CoreNLP PTBTokenizer the
+    reference shells out to (reference: utils/metrics.py:129-178).  The
+    two tokenizers differ on contractions, hyphenation and punctuation
+    edge cases, so scores are NOT decimal-comparable to published
+    CoreNLP-tokenized numbers — compare only scores produced by the same
+    evaluator.
     """
 
     def __init__(self, ground_truth: Dict[str, List[str]],
@@ -202,4 +212,5 @@ class CocoCaptionsEvaluator:
         cider = CiderScorer().compute_score(gt, predictions)
         spice = (100.0 * spice_score(predictions, gt, self.spice_jar)
                  if spice_available(self.spice_jar) else None)
-        return {"CIDEr": cider, "SPICE": spice}
+        return {"CIDEr": cider, "SPICE": spice,
+                "tokenizer": "builtin-ptb-approx"}

@@ -273,6 +273,9 @@ def test_cider_perfect_match_beats_mismatch():
     from clip_lite_tpu.utils.metrics import spice_available
     if not spice_available():
         assert good["SPICE"] is None
+    # The tokenizer caveat is flagged to callers (scores are not
+    # decimal-comparable to CoreNLP-tokenized published numbers).
+    assert good["tokenizer"] == "builtin-ptb-approx"
 
 
 def test_spice_gating(monkeypatch, tmp_path):
