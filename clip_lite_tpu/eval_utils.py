@@ -56,9 +56,15 @@ class EncoderBundle:
                                   "batch_stats", {})}
 
         model = self.model
-        variables = self.variables
+        # Variables must be jit ARGUMENTS, not closure constants: a
+        # closed-over checkpoint tree (hundreds of MB of numpy) is baked
+        # into the lowered HLO as literals, which the axon remote-compile
+        # tunnel rejects with HTTP 413 (docs/PERF_NOTES.md "Backend
+        # landmines").  One device_put here, then every chunk reuses the
+        # device-resident tree.
+        variables_dev = jax.device_put(self.variables)
 
-        def _img(images):
+        def _img(variables, images):
             feats = model.apply(variables, images,
                                 method=model.encode_image)
             if project:
@@ -68,7 +74,7 @@ class EncoderBundle:
 
         text_mode = config.MODEL.TEXTUAL.NAME
 
-        def _txt(input_ids, attention_mask):
+        def _txt(variables, input_ids, attention_mask):
             if text_mode == "glove":
                 batch = {"caption_tokens": input_ids}
             else:
@@ -80,8 +86,9 @@ class EncoderBundle:
                                     method=model.project_text)
             return l2_normalize(feats) if normalize else feats
 
-        self._img_fn = jax.jit(_img)
-        self._txt_fn = jax.jit(_txt)
+        jit_img, jit_txt = jax.jit(_img), jax.jit(_txt)
+        self._img_fn = lambda images: jit_img(variables_dev, images)
+        self._txt_fn = lambda ids, mask: jit_txt(variables_dev, ids, mask)
 
     # -- batched host-side APIs -------------------------------------------
     def encode_images(self, images: np.ndarray) -> np.ndarray:
