@@ -226,8 +226,14 @@ def main(_A) -> None:
                 n_params / 1e6)
 
     ckpt_dir = (_A.checkpoints_dir or _A.serialization_dir) + _C.RUN_ID
-    manager = CheckpointManager(ckpt_dir, keep_recent=_A.keep_recent,
-                                state=state)
+    # Async saves on TPU: the fetch/serialize/write of the ~GB-scale
+    # state runs on a worker thread so the hot loop never stalls on
+    # checkpoint cadence.  Sync on CPU meshes (host threads starve XLA's
+    # in-process collectives, see data/pipeline.py).
+    manager = CheckpointManager(
+        ckpt_dir, keep_recent=_A.keep_recent,
+        async_writes=(mesh.devices.flat[0].platform == "tpu"),
+        state=state)
     if _A.resume_from:
         loaded_iteration = manager.load(_A.resume_from)
         assert loaded_iteration == start_iteration  # peeked above
@@ -352,6 +358,7 @@ def main(_A) -> None:
     # Final checkpoint so short runs always leave an artifact.
     manager.checkpointables["state"] = state
     manager.step(_C.OPTIM.NUM_ITERATIONS)
+    manager.wait()  # drain the async writer before declaring done
     writer.close()
     logger.info("Done: %d iterations.", _C.OPTIM.NUM_ITERATIONS)
 

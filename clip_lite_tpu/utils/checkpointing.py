@@ -11,6 +11,16 @@ stored iteration.
 Serialization is flax msgpack of the state pytree — single-controller, so
 no rank gating is needed (the reference writes from the master process
 only, train.py:251-255).  Device arrays are pulled to host once per save.
+
+With ``async_writes=True`` the device->host fetch, serialization and
+file write happen on a single background worker thread and ``step()``
+returns immediately — the flagship state is ~1.9 GB and a synchronous
+save stalls training for minutes through a tunneled device.  This is
+safe because JAX arrays are immutable (training producing NEW buffers
+never mutates the snapshot the worker holds) and saves are ordered by
+the one-worker queue; ``wait()`` (called before load and at shutdown)
+drains the queue.  The reference has no async equivalent; this mirrors
+orbax's async checkpointing shape on the custom msgpack format.
 """
 
 from __future__ import annotations
@@ -18,6 +28,7 @@ from __future__ import annotations
 import glob
 import os
 import re
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Optional
 
 import jax
@@ -44,24 +55,41 @@ class CheckpointManager:
     """Saves/loads msgpack checkpoints named ``checkpoint_{it}.msgpack``."""
 
     def __init__(self, serialization_dir: str = "/tmp",
-                 keep_recent: int = 100, **checkpointables: Any):
+                 keep_recent: int = 100, async_writes: bool = False,
+                 **checkpointables: Any):
         self.serialization_dir = serialization_dir
         self.keep_recent = keep_recent
         self.checkpointables = dict(checkpointables)
         self._best_metric: Optional[float] = None
         self._recent: list = []
+        self._executor = (ThreadPoolExecutor(max_workers=1)
+                          if async_writes else None)
+        self._pending = None
         os.makedirs(serialization_dir, exist_ok=True)
 
     # -- saving ------------------------------------------------------------
     def step(self, iteration: int, metric: Optional[float] = None,
              mode: str = "min") -> str:
-        """Serialize all checkpointables + iteration; track best metric."""
-        payload = {name: serialization.to_state_dict(_to_host(obj))
-                   for name, obj in self.checkpointables.items()}
-        payload["iteration"] = np.int64(iteration)
+        """Serialize all checkpointables + iteration; track best metric.
+        Async mode: snapshots the (immutable) pytrees now, does the
+        fetch/serialize/write on the worker, returns the path at once."""
         path = os.path.join(self.serialization_dir,
                             f"checkpoint_{iteration}.msgpack")
-        _atomic_write(path, serialization.msgpack_serialize(payload))
+        objs = dict(self.checkpointables)
+        if self._executor is not None:
+            self.wait()  # at most one save in flight
+            self._pending = self._executor.submit(
+                self._write_step, objs, iteration, path, metric, mode)
+        else:
+            self._write_step(objs, iteration, path, metric, mode)
+        return path
+
+    def _write_step(self, objs, iteration, path, metric, mode) -> None:
+        payload = {name: serialization.to_state_dict(_to_host(obj))
+                   for name, obj in objs.items()}
+        payload["iteration"] = np.int64(iteration)
+        data = serialization.msgpack_serialize(payload)
+        _atomic_write(path, data)
 
         if metric is not None:
             better = (self._best_metric is None
@@ -71,14 +99,20 @@ class CheckpointManager:
                 self._best_metric = float(metric)
                 best = os.path.join(self.serialization_dir,
                                     "checkpoint_best.msgpack")
-                _atomic_write(best, serialization.msgpack_serialize(payload))
+                _atomic_write(best, data)  # same bytes, no re-serialize
 
         self._recent.append(path)
         while len(self._recent) > self.keep_recent:
             old = self._recent.pop(0)
             if os.path.exists(old):
                 os.remove(old)
-        return path
+
+    def wait(self) -> None:
+        """Drain the in-flight async save (no-op in sync mode).  Raises
+        whatever the worker raised, so write failures are never silent."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
 
     def climax_step(self, iteration: int,
                     model_key: str = "state") -> str:
@@ -86,21 +120,30 @@ class CheckpointManager:
         the reference's end-of-training sweep artifact
         (utils/checkpointing.py:106-131)."""
         state = self.checkpointables[model_key]
+        path = os.path.join(self.serialization_dir,
+                            f"climax_model_{iteration}.msgpack")
+        if self._executor is not None:
+            self.wait()
+            self._pending = self._executor.submit(
+                self._write_climax, state, iteration, path)
+        else:
+            self._write_climax(state, iteration, path)
+        return path
+
+    def _write_climax(self, state, iteration, path) -> None:
         payload = {
             "params": serialization.to_state_dict(_to_host(state.params)),
             "batch_stats": serialization.to_state_dict(
                 _to_host(state.batch_stats)),
             "iteration": np.int64(iteration),
         }
-        path = os.path.join(self.serialization_dir,
-                            f"climax_model_{iteration}.msgpack")
         _atomic_write(path, serialization.msgpack_serialize(payload))
-        return path
 
     # -- loading -----------------------------------------------------------
     def load(self, path: str) -> int:
         """Restore checkpointables in place (pytrees are rebuilt with the
         stored leaves via flax ``from_state_dict``); returns iteration."""
+        self.wait()
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         iteration = int(payload.pop("iteration", 0))

@@ -93,3 +93,45 @@ def test_load_tolerates_extra_checkpointables(tmp_path):
     path = m.step(7)
     m2 = CheckpointManager(str(tmp_path), state=tiny_state(0.0))
     assert m2.load(path) == 7
+
+
+def test_async_writes_roundtrip_and_best(tmp_path):
+    """Async mode: step() returns immediately, wait() drains, files are
+    byte-identical in content semantics to the sync path (same payload),
+    and best tracking runs in save order on the worker."""
+    m = CheckpointManager(str(tmp_path), async_writes=True,
+                          state=tiny_state(1.0))
+    p1 = m.step(10, metric=0.9)
+    m.checkpointables["state"] = tiny_state(2.0)
+    p2 = m.step(20, metric=0.5)     # better -> becomes best
+    m.checkpointables["state"] = tiny_state(3.0)
+    p3 = m.step(30, metric=0.7)     # worse -> best unchanged
+    m.wait()
+    for p in (p1, p2, p3):
+        assert os.path.exists(p)
+    best = os.path.join(str(tmp_path), "checkpoint_best.msgpack")
+    assert os.path.exists(best)
+    loader = CheckpointManager(str(tmp_path), state=tiny_state(0.0))
+    assert loader.load(best) == 20
+    np.testing.assert_array_equal(
+        np.asarray(loader.restored("state").params["layer"]["w"]),
+        np.full(4, 2.0))
+    # load() on the async manager itself drains the queue first
+    m.checkpointables["state"] = tiny_state(9.0)
+    p4 = m.step(40)
+    it = m.load(p4)
+    assert it == 40
+
+
+def test_async_write_failure_is_raised_on_wait(tmp_path, monkeypatch):
+    m = CheckpointManager(str(tmp_path), async_writes=True,
+                          state=tiny_state())
+    import clip_lite_tpu.utils.checkpointing as C
+
+    def boom(path, data):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(C, "_atomic_write", boom)
+    m.step(10)
+    with pytest.raises(OSError, match="disk full"):
+        m.wait()
