@@ -281,6 +281,9 @@ class Config:
         _C.MODEL.VISUAL = ConfigNode()
         _C.MODEL.VISUAL.NETWORK_NAME = "resnet50"
         _C.MODEL.VISUAL.FEATURE_SIZE = 2048
+        # ResNet base channel width: 64 = the torchvision family; smaller
+        # values build architecture-faithful tiny towers (CI / dryrun).
+        _C.MODEL.VISUAL.WIDTH = 64
         _C.MODEL.VISUAL.FROZEN = False
         _C.MODEL.VISUAL.SELF_SUPERVISED = False
         _C.MODEL.VISUAL.PRETRAINED = False
@@ -313,6 +316,9 @@ class Config:
         _C.MODEL.TEXTUAL.SELF_SUPERVISED = False
         _C.MODEL.TEXTUAL.NUM_HIDDEN_LAYERS = 12
         _C.MODEL.TEXTUAL.VOCAB_SIZE = 30522
+        # BERT tower hidden width (768 = bert-base); heads/FFN scale with
+        # it (hidden//64, 4*hidden).  MPNet/sbert modes ignore this.
+        _C.MODEL.TEXTUAL.HIDDEN_SIZE = 768
         # Transformer hidden/attention dropout (HF hidden_dropout_prob /
         # attention_probs_dropout_prob; reference trains the HF default).
         _C.MODEL.TEXTUAL.DROPOUT = 0.1

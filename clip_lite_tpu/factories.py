@@ -77,6 +77,7 @@ class VisualBackboneFactory(Factory):
             bn_mode=_C.MODEL.VISUAL.BN_MODE,
             data_axis=_C.PARALLEL.DATA_AXIS,
             remat=_C.MODEL.VISUAL.REMAT,
+            width=_C.MODEL.VISUAL.WIDTH,
         )
 
 
@@ -103,6 +104,7 @@ class TextualHeadFactory(Factory):
             dtype_name=_C.DTYPE if _C.AMP else "float32",
             fused_attention=_C.MODEL.TEXTUAL.FUSED_ATTENTION,
             transformer_dropout=_C.MODEL.TEXTUAL.DROPOUT,
+            hidden_size=_C.MODEL.TEXTUAL.HIDDEN_SIZE,
         )
 
 

@@ -41,6 +41,7 @@ class ImageEncoder(nn.Module):
     bn_mode: str = "local"  # {"local", "sync"}
     data_axis: str = "data"
     remat: bool = False  # per-block rematerialization (ResNets only)
+    width: int = 64  # ResNet base channel width (MODEL.VISUAL.WIDTH)
 
     def setup(self):
         if self.img_enc_net not in BACKBONES:
@@ -55,6 +56,7 @@ class ImageEncoder(nn.Module):
         if self.img_enc_net in RESNETS:
             kwargs["num_classes"] = None  # feature extractor (fc chopped)
             kwargs["remat"] = self.remat
+            kwargs["width"] = self.width
         self.backbone = BACKBONES[self.img_enc_net](**kwargs)
 
     @property

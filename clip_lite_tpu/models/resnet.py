@@ -229,11 +229,15 @@ class ResNet(nn.Module):
     bn_axis_name: Optional[str] = None
     remat: bool = False
     space_to_depth: bool = True  # exact-math stem rewrite (see SpaceToDepthStem)
+    # Base channel width (stage c = width * 2**c).  64 reproduces the
+    # torchvision family; smaller values give architecture-faithful tiny
+    # models for CI/dryrun (MODEL.VISUAL.WIDTH).
+    width: int = 64
 
     @property
     def feature_size(self) -> int:
         expansion = 4 if self.block_cls is Bottleneck else 1
-        return 512 * expansion
+        return self.width * (2 ** (len(self.stage_sizes) - 1)) * expansion
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -242,11 +246,11 @@ class ResNet(nn.Module):
         # are even (always, for the 224/crop sizes used here) the stem conv
         # runs in its exact space-to-depth form.
         if self.space_to_depth and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-            x = SpaceToDepthStem(64, dtype=dtype,
+            x = SpaceToDepthStem(self.width, dtype=dtype,
                                  bn_axis_name=self.bn_axis_name,
                                  name="stem")(x, train)
         else:
-            x = ConvBN(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
+            x = ConvBN(self.width, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
                        dtype=dtype, bn_axis_name=self.bn_axis_name,
                        name="stem")(x, train)
         x = nn.relu(x)
@@ -258,7 +262,7 @@ class ResNet(nn.Module):
         expansion = 4 if self.block_cls is Bottleneck else 1
 
         for stage, num_blocks in enumerate(self.stage_sizes):
-            features = 64 * (2 ** stage)
+            features = self.width * (2 ** stage)
             for blk in range(num_blocks):
                 strides = (2, 2) if stage > 0 and blk == 0 else (1, 1)
                 needs_proj = blk == 0 and (

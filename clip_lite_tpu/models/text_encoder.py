@@ -47,6 +47,11 @@ class TextEncoder(nn.Module):
     fused_attention: str = "auto"
     # Transformer hidden/attention dropout (MODEL.TEXTUAL.DROPOUT).
     transformer_dropout: float = 0.1
+    # BERT tower hidden width (MODEL.TEXTUAL.HIDDEN_SIZE).  768 is the
+    # bert-base flagship; smaller widths give architecture-faithful tiny
+    # towers (heads = hidden//64, FFN = 4*hidden scale with it).  MPNet
+    # and precomputed-sbert modes are fixed at 768.
+    hidden_size: int = 768
 
     def setup(self):
         if self.mode == "glove":
@@ -67,14 +72,18 @@ class TextEncoder(nn.Module):
                     dropout_rate=self.transformer_dropout,
                     name="transformer")
             else:
+                h = self.hidden_size
                 self.transformer = BertModel(
                     vocab_size=self.vocab_size,
+                    hidden_size=h,
+                    num_heads=max(1, h // 64),
+                    intermediate_size=4 * h,
                     num_hidden_layers=self.num_hidden_layers,
                     dtype_name=self.dtype_name,
                     fused_attention=self.fused_attention,
                     dropout_rate=self.transformer_dropout,
                     name="transformer")
-            in_dim = 768
+            in_dim = 768 if "mpnet" in self.model_name else self.hidden_size
         else:
             raise ValueError(f"Unknown text encoder mode {self.mode!r}")
 
@@ -89,6 +98,9 @@ class TextEncoder(nn.Module):
             return self.txt_enc_dim
         if self.mode == "glove":
             return self.glove_dim
+        if self.mode in ("train_sbert", "finetune_sbert") \
+                and "mpnet" not in self.model_name:
+            return self.hidden_size
         return 768
 
     def __call__(self, batch: dict, train: bool = True) -> jax.Array:
