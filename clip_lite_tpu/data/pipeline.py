@@ -33,9 +33,31 @@ class DataLoader:
                  seed: int = 0, prefetch: int = 2,
                  device_put_fn: Optional[Callable] = None,
                  background: bool = True,
-                 length_group_batches: int = 0):
+                 length_group_batches: int = 0,
+                 num_shards: Optional[int] = None,
+                 shard_index: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
+        # Multi-host sharding (the reference's DistributedSampler,
+        # train.py:78-93): every host computes the SAME global (seed,
+        # epoch)-pure batch order, then loads only its contiguous slice of
+        # each global batch — parallel.mesh.shard_batch reassembles the
+        # global array from the per-process pieces.  Defaults follow
+        # jax.process_count()/process_index(); pass explicitly for tests.
+        if num_shards is None:
+            import jax
+
+            num_shards = jax.process_count()
+            shard_index = jax.process_index()
+        if batch_size % num_shards:
+            raise ValueError(f"batch_size {batch_size} must divide across "
+                             f"{num_shards} host shards")
+        if num_shards > 1 and not drop_last:
+            raise ValueError("multi-host loading requires drop_last=True "
+                             "(a ragged tail batch cannot split evenly "
+                             "across hosts)")
+        self.num_shards = num_shards
+        self.shard_index = shard_index or 0
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
@@ -110,9 +132,13 @@ class DataLoader:
         order = self._epoch_order()
         n_full = len(order) // self.batch_size
         end = n_full * self.batch_size if self.drop_last else len(order)
+        local = self.batch_size // self.num_shards
         for b in range(start_batch, -(-end // self.batch_size)):
             idxs = order[b * self.batch_size: (b + 1) * self.batch_size]
             if len(idxs) == self.batch_size or not self.drop_last:
+                if self.num_shards > 1:
+                    idxs = idxs[self.shard_index * local:
+                                (self.shard_index + 1) * local]
                 yield idxs
 
     def _load_batch(self, idxs: np.ndarray, pool: ThreadPoolExecutor):

@@ -48,6 +48,15 @@ def process_index() -> int:
     return jax.process_index()
 
 
+def process_count() -> int:
+    """Number of participating host processes (the reference's
+    get_world_size is devices; this is machines,
+    utils/distributed.py:122-129)."""
+    import jax
+
+    return jax.process_count()
+
+
 def is_primary_host() -> bool:
     """Whether this is host 0 (the reference's is_master_process,
     utils/distributed.py:132-138). Host-side IO (checkpoints, logs)

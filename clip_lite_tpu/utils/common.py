@@ -38,11 +38,24 @@ def common_parser(description: str = "") -> argparse.ArgumentParser:
     parser.add_argument("--virtual-devices", type=int, default=0,
                         help="With --platform cpu: number of virtual CPU "
                              "devices (to exercise the mesh without TPUs).")
+    # Multi-host launch surface (the reference's --num-machines /
+    # --machine-rank / --dist-url, reference: utils/distributed.py:63,98).
+    # On TPU pods all three are auto-detected; pass them explicitly for
+    # other fabrics.
+    parser.add_argument("--num-hosts", type=int, default=1,
+                        help="Number of participating host processes; >1 "
+                             "triggers jax.distributed.initialize.")
+    parser.add_argument("--host-rank", type=int, default=None,
+                        help="This process' index in [0, num_hosts).")
+    parser.add_argument("--coordinator-address", default=None,
+                        help="host:port of process 0 for the DCN rendezvous "
+                             "(the reference's --dist-url).")
     return parser
 
 
 def apply_platform_args(args) -> None:
-    """Apply --platform/--virtual-devices before any JAX computation.
+    """Apply --platform/--virtual-devices and the multi-host rendezvous
+    before any JAX computation.
 
     Must run before the first backend initialization; works even though
     the ambient sitecustomize imports jax with JAX_PLATFORMS=axon."""
@@ -50,6 +63,11 @@ def apply_platform_args(args) -> None:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "num_hosts", 1) and args.num_hosts > 1:
+        from clip_lite_tpu.parallel.distributed import initialize_multihost
+
+        initialize_multihost(args.coordinator_address, args.num_hosts,
+                             args.host_rank)
     if args.virtual_devices and args.platform == "cpu":
         jax.config.update("jax_num_cpu_devices", args.virtual_devices)
         # XLA:CPU's in-process collectives abort the whole process if any
@@ -71,15 +89,27 @@ def apply_platform_args(args) -> None:
 
 def common_setup(config, args, job_type: str = "pretrain") -> logging.Logger:
     """Seed everything, create the serialization dir, dump the config,
-    configure logging to stdout + a per-host file."""
+    configure logging to stdout + a per-host file.
+
+    Multi-host: the config dump is primary-host-only (the reference's
+    master-only writes, train.py:251-255); each host keeps its OWN log
+    file, suffixed with its process index (the reference's per-rank
+    loguru files, utils/common.py:83-95)."""
     random.seed(config.RANDOM_SEED)
     np.random.seed(config.RANDOM_SEED)
     apply_rng_impl(config)
 
+    from clip_lite_tpu.parallel.distributed import (
+        is_primary_host,
+        process_count,
+        process_index,
+    )
+
     ser_dir = args.checkpoints_dir or args.serialization_dir
     args.serialization_dir = ser_dir
     os.makedirs(ser_dir, exist_ok=True)
-    config.dump(os.path.join(ser_dir, f"{job_type}_config.yaml"))
+    if is_primary_host():
+        config.dump(os.path.join(ser_dir, f"{job_type}_config.yaml"))
 
     logger = logging.getLogger("clip_lite_tpu")
     logger.setLevel(logging.INFO)
@@ -89,7 +119,9 @@ def common_setup(config, args, job_type: str = "pretrain") -> logging.Logger:
     sh = logging.StreamHandler(sys.stdout)
     sh.setFormatter(fmt)
     logger.addHandler(sh)
-    fh = logging.FileHandler(os.path.join(ser_dir, f"log_{job_type}.txt"))
+    suffix = f"_h{process_index()}" if process_count() > 1 else ""
+    fh = logging.FileHandler(
+        os.path.join(ser_dir, f"log_{job_type}{suffix}.txt"))
     fh.setFormatter(fmt)
     logger.addHandler(fh)
     logger.propagate = False

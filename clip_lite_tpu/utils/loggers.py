@@ -24,11 +24,23 @@ logger = logging.getLogger("clip_lite_tpu")
 class MetricsWriter:
     def __init__(self, serialization_dir: str, use_tensorboard: bool = True,
                  use_wandb: bool = True, config: Optional[dict] = None):
+        # Multi-host: metric sinks live on host 0 only (the reference's
+        # master-only wandb logging, train.py:132,235-248); other hosts
+        # get a writer whose write() is a no-op.
+        from clip_lite_tpu.parallel.distributed import (
+            is_primary_host,
+            process_count,
+        )
+
+        self._active = process_count() == 1 or is_primary_host()
+        self._jsonl = None
+        self._tb = None
+        self._wandb = None
+        if not self._active:
+            return
         os.makedirs(serialization_dir, exist_ok=True)
         self._jsonl = open(os.path.join(serialization_dir, "metrics.jsonl"),
                            "a")
-        self._tb = None
-        self._wandb = None
 
         if use_tensorboard:
             try:
@@ -52,6 +64,8 @@ class MetricsWriter:
 
     def write(self, step: int, metrics: Dict[str, float],
               split: str = "train") -> None:
+        if not self._active:
+            return
         record = {"iteration": step, "split": split,
                   **{k: float(v) for k, v in metrics.items()}}
         self._jsonl.write(json.dumps(record) + "\n")
@@ -67,6 +81,7 @@ class MetricsWriter:
                              for k, v in metrics.items()}, step=step)
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

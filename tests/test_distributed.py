@@ -45,3 +45,156 @@ def test_primary_host_predicate(monkeypatch):
     assert process_index() == 0
     monkeypatch.setattr(jax, "process_index", lambda: 2)
     assert not is_primary_host()
+
+
+# -- the wiring: IO gating, per-host loading, global-array assembly --------
+
+
+def _simulate_host(monkeypatch, rank: int, count: int = 2) -> None:
+    monkeypatch.setattr(jax, "process_index", lambda: rank)
+    monkeypatch.setattr(jax, "process_count", lambda: count)
+
+
+def test_nonprimary_host_checkpoint_writes_nothing(tmp_path, monkeypatch):
+    """Host 1 must not touch the filesystem on save; host 0 must
+    (the reference's master-only saves, train.py:251-255)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from clip_lite_tpu.utils.checkpointing import CheckpointManager
+
+    def manager(sub):
+        from clip_lite_tpu.engine import TrainState
+
+        state = TrainState(step=jnp.asarray(1), params={"w": jnp.ones(2)},
+                           batch_stats={}, opt_state=())
+        return CheckpointManager(str(tmp_path / sub), state=state)
+
+    _simulate_host(monkeypatch, rank=1)
+    m = manager("h1")
+    p = m.step(10)
+    m.climax_step(10)
+    assert p.endswith("checkpoint_10.msgpack")  # path still reported
+    assert not [f for f in os.listdir(tmp_path / "h1")
+                if f.endswith(".msgpack")]
+
+    _simulate_host(monkeypatch, rank=0)
+    m0 = manager("h0")
+    m0.step(10)
+    m0.climax_step(10)
+    names = os.listdir(tmp_path / "h0")
+    assert "checkpoint_10.msgpack" in names
+    assert "climax_model_10.msgpack" in names
+
+
+def test_nonprimary_host_metrics_writer_is_noop(tmp_path, monkeypatch):
+    import os
+
+    from clip_lite_tpu.utils.loggers import MetricsWriter
+
+    _simulate_host(monkeypatch, rank=1)
+    w = MetricsWriter(str(tmp_path / "h1"), use_tensorboard=False,
+                      use_wandb=False)
+    w.write(1, {"loss": 1.0})
+    w.close()
+    assert not os.path.exists(tmp_path / "h1" / "metrics.jsonl")
+
+    _simulate_host(monkeypatch, rank=0)
+    w0 = MetricsWriter(str(tmp_path / "h0"), use_tensorboard=False,
+                       use_wandb=False)
+    w0.write(1, {"loss": 1.0})
+    w0.close()
+    assert os.path.exists(tmp_path / "h0" / "metrics.jsonl")
+
+
+def test_loader_host_shards_partition_the_global_batch():
+    """Each host's slice of every global batch, concatenated in rank
+    order, must equal the single-host batch — same (seed, epoch) order,
+    disjoint rows (the reference's DistributedSampler contract,
+    train.py:78-93)."""
+    import numpy as np
+
+    from clip_lite_tpu.data.datasets import RandomDataset
+    from clip_lite_tpu.data.pipeline import DataLoader
+
+    def make(num_shards, shard_index):
+        ds = RandomDataset(mode="train_sbert", length=32, image_size=16,
+                           max_caption_length=8)
+        return DataLoader(ds, 8, shuffle=True, drop_last=True,
+                          num_workers=1, seed=7, background=False,
+                          num_shards=num_shards, shard_index=shard_index)
+
+    full = [b["image_id"] for b in make(1, 0)]
+    h0 = [b["image_id"] for b in make(2, 0)]
+    h1 = [b["image_id"] for b in make(2, 1)]
+    assert len(full) == len(h0) == len(h1)
+    for f, a, b in zip(full, h0, h1):
+        np.testing.assert_array_equal(f, np.concatenate([a, b]))
+
+
+def test_loader_shard_validation():
+    import pytest as _pytest
+
+    from clip_lite_tpu.data.datasets import RandomDataset
+    from clip_lite_tpu.data.pipeline import DataLoader
+
+    ds = RandomDataset(mode="train_sbert", length=32, image_size=16,
+                       max_caption_length=8)
+    with _pytest.raises(ValueError, match="divide across"):
+        DataLoader(ds, 9, num_shards=2, shard_index=0)
+    with _pytest.raises(ValueError, match="drop_last"):
+        DataLoader(ds, 8, drop_last=False, num_shards=2, shard_index=0)
+
+
+def test_shard_batch_uses_process_local_assembly(monkeypatch):
+    """With >1 process, shard_batch must build the global array from
+    per-host local rows (jax.make_array_from_process_local_data), not
+    device_put — a plain put would address non-local devices and fail
+    at the first batch (round-3 verdict missing #1)."""
+    import numpy as np
+
+    from clip_lite_tpu.parallel.mesh import create_mesh, shard_batch
+
+    mesh = create_mesh(data_axis="data")
+    calls = []
+
+    def fake_assemble(sharding, local):
+        calls.append((sharding, np.asarray(local)))
+        return jax.device_put(local)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "make_array_from_process_local_data",
+                        fake_assemble)
+    local_batch = {"image": np.zeros((4, 8, 8, 3), np.float32)}
+    shard_batch(local_batch, mesh, "data")
+    assert len(calls) == 1
+    sharding, local = calls[0]
+    assert sharding.spec == jax.sharding.PartitionSpec("data")
+    assert local.shape == (4, 8, 8, 3)
+
+
+def test_common_setup_gates_config_dump_and_suffixes_log(tmp_path,
+                                                         monkeypatch):
+    import argparse
+    import os
+
+    from clip_lite_tpu.config import Config
+    from clip_lite_tpu.utils.common import common_setup
+
+    def run(rank):
+        _simulate_host(monkeypatch, rank=rank)
+        args = argparse.Namespace(
+            checkpoints_dir=None,
+            serialization_dir=str(tmp_path / f"h{rank}"))
+        logger = common_setup(Config(), args, job_type="pretrain")
+        for h in logger.handlers:  # release the file so listdir sees it
+            h.close()
+        return sorted(os.listdir(tmp_path / f"h{rank}"))
+
+    files1 = run(1)
+    assert "pretrain_config.yaml" not in files1
+    assert "log_pretrain_h1.txt" in files1
+    files0 = run(0)
+    assert "pretrain_config.yaml" in files0
+    assert "log_pretrain_h0.txt" in files0
