@@ -15,12 +15,16 @@ only, train.py:251-255).  Device arrays are pulled to host once per save.
 With ``async_writes=True`` the device->host fetch, serialization and
 file write happen on a single background worker thread and ``step()``
 returns immediately — the flagship state is ~1.9 GB and a synchronous
-save stalls training for minutes through a tunneled device.  This is
-safe because JAX arrays are immutable (training producing NEW buffers
-never mutates the snapshot the worker holds) and saves are ordered by
-the one-worker queue; ``wait()`` (called before load and at shutdown)
-drains the queue.  The reference has no async equivalent; this mirrors
-orbax's async checkpointing shape on the custom msgpack format.
+save stalls training for minutes through a tunneled device.  Immutability
+of jax.Arrays alone does NOT make this safe: the next train step DONATES
+the state buffers (engine.compile_train_step ``donate_argnums=(0,)``),
+which invalidates them under the worker's device->host fetch.  ``step()``
+therefore snapshots every device leaf via one jitted device-side copy
+(fresh buffers, ~ms of HBM traffic) BEFORE returning — the worker fetches
+from the snapshot, immune to donation/deletion of the originals.  Saves
+are ordered by the one-worker queue; ``wait()`` (called before load and
+at shutdown) drains it.  The reference has no async equivalent; this
+mirrors orbax's async checkpointing shape on the custom msgpack format.
 """
 
 from __future__ import annotations
@@ -38,6 +42,36 @@ from flax import serialization
 
 def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+@jax.jit
+def _copy_leaves(xs):
+    """Device-side copy of a list of arrays as ONE compiled program.
+
+    Outputs are fresh buffers (XLA never aliases input to output without
+    a donation annotation), so they survive donation or ``.delete()`` of
+    the inputs.  jnp.copy rather than identity: jit passes untouched
+    arguments through as the SAME array, which would defeat the point.
+    """
+    import jax.numpy as jnp
+
+    return [jnp.copy(x) for x in xs]
+
+
+def _snapshot(tree):
+    """Decouple a pytree from its caller: device leaves are copied on
+    device (cheap HBM traffic, no host round-trip); host leaves pass
+    through.  The async worker fetches from this snapshot, so the next
+    train step donating the original state buffers cannot corrupt an
+    in-flight save."""
+    leaves, treedef = jax.tree.flatten(tree)
+    idx = [i for i, x in enumerate(leaves)
+           if isinstance(x, jax.Array) and not x.is_deleted()]
+    if idx:
+        copies = _copy_leaves([leaves[i] for i in idx])
+        for i, c in zip(idx, copies):
+            leaves[i] = c
+    return jax.tree.unflatten(treedef, leaves)
 
 
 def _atomic_write(path: str, data: bytes) -> None:
@@ -67,17 +101,33 @@ class CheckpointManager:
         self._pending = None
         os.makedirs(serialization_dir, exist_ok=True)
 
+    @staticmethod
+    def _is_writer() -> bool:
+        """Multi-host: only host 0 touches the filesystem (the reference's
+        master-only saves, train.py:251-255).  State is replicated across
+        hosts, so host 0's copy is the global truth."""
+        from clip_lite_tpu.parallel.distributed import (
+            is_primary_host,
+            process_count,
+        )
+
+        return process_count() == 1 or is_primary_host()
+
     # -- saving ------------------------------------------------------------
     def step(self, iteration: int, metric: Optional[float] = None,
              mode: str = "min") -> str:
         """Serialize all checkpointables + iteration; track best metric.
         Async mode: snapshots the (immutable) pytrees now, does the
-        fetch/serialize/write on the worker, returns the path at once."""
+        fetch/serialize/write on the worker, returns the path at once.
+        Non-primary hosts: no-op (returns the path host 0 writes)."""
         path = os.path.join(self.serialization_dir,
                             f"checkpoint_{iteration}.msgpack")
+        if not self._is_writer():
+            return path
         objs = dict(self.checkpointables)
         if self._executor is not None:
             self.wait()  # at most one save in flight
+            objs = _snapshot(objs)  # decouple from later buffer donation
             self._pending = self._executor.submit(
                 self._write_step, objs, iteration, path, metric, mode)
         else:
@@ -122,8 +172,12 @@ class CheckpointManager:
         state = self.checkpointables[model_key]
         path = os.path.join(self.serialization_dir,
                             f"climax_model_{iteration}.msgpack")
+        if not self._is_writer():
+            return path
         if self._executor is not None:
             self.wait()
+            state = state.replace(params=_snapshot(state.params),
+                                  batch_stats=_snapshot(state.batch_stats))
             self._pending = self._executor.submit(
                 self._write_climax, state, iteration, path)
         else:
