@@ -203,7 +203,73 @@ def infinite_batches(loader: DataLoader,
 
     Resuming from iteration N replays epoch N // len(loader) from batch
     N % len(loader) — exact mid-epoch resume (upgrade over the reference's
-    restart-epoch cycle(), utils/common.py:14-38)."""
+    restart-epoch cycle(), utils/common.py:14-38).
+
+    With ``loader.background`` the stream is produced by a background
+    thread into a ``loader.prefetch``-deep queue, so decode/augment for
+    batch N+1..N+prefetch overlaps the device step on batch N — the same
+    overlap the reference buys with DataLoader worker processes
+    (reference: train.py:98-103).  Curriculum state is exact: the producer
+    calls ``set_iteration`` for the iteration each batch is FOR, before
+    loading it.  ``background=False`` loads in the calling thread (CPU
+    meshes: competing host threads starve XLA's in-process collective
+    rendezvous; see DataLoader.__init__)."""
+    if not loader.background:
+        yield from _infinite_batches_sync(loader, start_iteration)
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, loader.prefetch))
+    stop = threading.Event()
+
+    def producer():
+        pool = ThreadPoolExecutor(max_workers=loader.num_workers)
+        per_epoch = len(loader)
+        iteration = start_iteration
+        try:
+            while not stop.is_set():
+                loader.set_epoch(iteration // per_epoch)
+                for idxs in loader._batches(iteration % per_epoch):
+                    if stop.is_set():
+                        return
+                    loader.set_iteration(iteration)
+                    batch = loader._load_batch(idxs, pool)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    iteration += 1
+        except BaseException as e:  # surface loader errors to the consumer
+            q.put(_ProducerError(e))
+        finally:
+            pool.shutdown(wait=False)
+
+    thread = threading.Thread(target=producer, daemon=True,
+                              name="infinite_batches_producer")
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, _ProducerError):
+                raise item.error
+            yield item
+    finally:
+        stop.set()
+        while True:  # drain so the producer can exit a blocking put
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+
+
+class _ProducerError:
+    def __init__(self, error: BaseException):
+        self.error = error
+
+
+def _infinite_batches_sync(loader: DataLoader,
+                           start_iteration: int) -> Iterator[Dict[str, Any]]:
     per_epoch = len(loader)
     iteration = start_iteration
     while True:
