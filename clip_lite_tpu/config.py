@@ -272,6 +272,11 @@ class Config:
         # Square tile size images are cached at; training takes random
         # IMAGE_CROP_SIZE crops of it on device.
         _C.DATA.CACHE_IMAGE_SIZE = 256
+        # Corpus placement on the mesh: "sharded" splits it P(data_axis)
+        # (HBM per chip = corpus / n_devices — full COCO at 256^2 fits a
+        # v5e-8); "replicated" keeps a full copy per device.  Batches are
+        # bit-identical either way (device_cache.py module docstring).
+        _C.DATA.CACHE_PLACEMENT = "sharded"
 
         # -----------------------------------------------------------------
         #   Model architecture: visual backbone and textual head.

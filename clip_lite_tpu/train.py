@@ -190,13 +190,16 @@ def main(_A) -> None:
             train_loader.dataset, mesh, _C.OPTIM.BATCH_SIZE,
             _C.PARALLEL.DATA_AXIS, cache_size=_C.DATA.CACHE_IMAGE_SIZE,
             crop_size=_C.DATA.IMAGE_CROP_SIZE,
-            seq_buckets=_C.DATA.SEQ_BUCKETS, seed=_C.RANDOM_SEED)
+            seq_buckets=_C.DATA.SEQ_BUCKETS, seed=_C.RANDOM_SEED,
+            placement=_C.DATA.CACHE_PLACEMENT)
         cache.set_start(start_iteration)
         batches = iter(cache)
-        logger.info("Device-resident dataset cache: %d items, %.2f GB "
-                    "in HBM; host pipeline out of the loop",
+        logger.info("Device-resident dataset cache (%s): %d items, "
+                    "%.2f GB total / %.2f GB per chip; host pipeline "
+                    "out of the loop", cache.placement,
                     len(train_loader.dataset),
-                    cache.memory_bytes() / 1e9)
+                    cache.memory_bytes() / 1e9,
+                    cache.memory_bytes_per_device() / 1e9)
     else:
         batches = infinite_batches(train_loader, start_iteration)
     first_batch = next(batches)
