@@ -14,6 +14,9 @@ from clip_lite_tpu.utils.checkpointing import (
     load_model_variables,
 )
 
+# Always-run smoke gate: pure math, single device, no mesh (pytest -m smoke).
+pytestmark = pytest.mark.smoke
+
 
 def tiny_state(value=1.0):
     return TrainState(

@@ -4,6 +4,10 @@ import pytest
 
 from clip_lite_tpu.config import Config, ConfigNode
 
+# Always-run smoke gate: pure math, single device, no mesh (pytest -m smoke).
+pytestmark = pytest.mark.smoke
+
+
 
 def test_defaults():
     c = Config()

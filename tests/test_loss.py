@@ -19,6 +19,9 @@ from clip_lite_tpu.ops.loss import (
     PriorDiscriminator,
 )
 
+# Always-run smoke gate: pure math, single device, no mesh (pytest -m smoke).
+pytestmark = pytest.mark.smoke
+
 
 def softplus(x):
     return np.logaddexp(0.0, x)

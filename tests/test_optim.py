@@ -18,6 +18,10 @@ from clip_lite_tpu.optim import (
 )
 from clip_lite_tpu.optim import schedules as S
 
+# Always-run smoke gate: pure math, single device, no mesh (pytest -m smoke).
+pytestmark = pytest.mark.smoke
+
+
 torch = pytest.importorskip("torch")
 
 
