@@ -14,7 +14,19 @@ full production pipeline runs unmodified:
   <out>/coco/images/{train,val}2017/*.jpg      CocoCaptionsDirReader
   <out>/coco/{train,val}2017 -> images/...     (symlink) ReEvalDataset
   <out>/coco/annotations/captions_*2017.json   both of the above
-  <out>/imagenet/val/<color>_<shape>/*.jpg     ImageNetDataset (zero-shot)
+  <out>/imagenet/{train,val}/<color>_<shape>/  ImageNetDataset
+                                               (zero-shot + linear probe)
+  <out>/VOC2007/JPEGImages + ImageSets/Main    VOC07ClassificationDataset
+                                               (SVM mAP; 16 multi-label
+                                               classes = 8 colors + 8
+                                               shapes; the background
+                                               color is marked VOC
+                                               "difficult" -> ignored)
+  <out>/coco_gender/images + gender_annotations/{split}.pkl
+                                               CocoObjectGender (bias_eda;
+                                               the protected attribute is
+                                               shape COLOR: red ≙ "man",
+                                               blue ≙ "woman")
 
 Pipeline:
     python -m clip_lite_tpu.scripts.make_synth_data --output-dir /tmp/synth
@@ -47,6 +59,12 @@ parser.add_argument("--output-dir", required=True)
 parser.add_argument("--train-n", type=int, default=4000)
 parser.add_argument("--val-n", type=int, default=500)
 parser.add_argument("--zeroshot-per-class", type=int, default=8)
+parser.add_argument("--probe-train-per-class", type=int, default=12,
+                    help="imagenet/train images per class (linear probe).")
+parser.add_argument("--voc-trainval", type=int, default=320)
+parser.add_argument("--voc-test", type=int, default=160)
+parser.add_argument("--gender-n", type=int, default=240,
+                    help="coco_gender val images (red/blue populations).")
 parser.add_argument("--image-size", type=int, default=256)
 parser.add_argument("--seed", type=int, default=0)
 
@@ -124,7 +142,9 @@ def render(rng: np.random.RandomState, size: int, color_name: str,
          else rng.randint(size // 6, size // 4))
     color = np.asarray(COLORS[color_name], np.float32) * rng.uniform(.8, 1.)
     _draw_shape(img, shape, color, cx, cy, r)
-    return img
+    box = [max(0, cx - r), max(0, cy - r),
+           min(size - 1, cx + r), min(size - 1, cy + r)]
+    return img, box
 
 
 def _captions(rng: np.random.RandomState, color: str, shape: str,
@@ -159,7 +179,7 @@ def _write_split(root: str, split: str, n: int, size: int,
     ann_id = 1
     for i in range(n):
         color, shape, pos_idx, size_name, bg = _sample_scene(rng)
-        img = render(rng, size, color, shape, pos_idx, size_name, bg)
+        img, _ = render(rng, size, color, shape, pos_idx, size_name, bg)
         fname = f"{i:012d}.jpg"
         cv2.imwrite(os.path.join(img_dir, fname),
                     cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
@@ -177,33 +197,110 @@ def _write_split(root: str, split: str, n: int, size: int,
     print(f"{split}: {n} images, {len(annotations)} captions")
 
 
-def _write_zeroshot(root: str, per_class: int, size: int,
+def _write_imagenet(root: str, split: str, per_class: int, size: int,
                     rng: np.random.RandomState) -> None:
-    """Directory-per-class val set over all 64 (color, shape) classes."""
+    """Directory-per-class split over all 64 (color, shape) classes —
+    val feeds zero_shot.py, train+val feed linear_clf.py."""
     for color in COLORS:
         for shape in SHAPES:
-            d = os.path.join(root, "val", f"{color}_{shape}")
+            d = os.path.join(root, split, f"{color}_{shape}")
             os.makedirs(d, exist_ok=True)
             for j in range(per_class):
                 pos_idx = rng.randint(9)
                 size_name = SIZES[rng.randint(2)]
                 bg = [c for c in COLORS if c != color][
                     rng.randint(len(COLORS) - 1)]
-                img = render(rng, size, color, shape, pos_idx, size_name, bg)
+                img, _ = render(rng, size, color, shape, pos_idx,
+                                size_name, bg)
                 cv2.imwrite(os.path.join(d, f"{j:05d}.jpg"),
                             cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
                             [cv2.IMWRITE_JPEG_QUALITY, 95])
     n_cls = len(COLORS) * len(SHAPES)
-    print(f"zero-shot: {n_cls} classes x {per_class} images")
+    print(f"imagenet/{split}: {n_cls} classes x {per_class} images")
+
+
+def _write_voc(root: str, split: str, n: int, size: int,
+               rng: np.random.RandomState) -> None:
+    """VOC2007 layout for the SVM eval: 16 multi-label classes (8 colors
+    + 8 shapes).  Each image is positive for its shape's color and shape
+    class; its BACKGROUND color is written as VOC raw 0 ("difficult") —
+    the reader maps that to ignore, exercising the same -1 path real
+    VOC07 does (data/datasets.py:534-541)."""
+    img_dir = os.path.join(root, "JPEGImages")
+    set_dir = os.path.join(root, "ImageSets", "Main")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(set_dir, exist_ok=True)
+    classes = list(COLORS) + list(SHAPES)
+    lines = {c: [] for c in classes}
+    for i in range(n):
+        color, shape, pos_idx, size_name, bg = _sample_scene(rng)
+        img, _ = render(rng, size, color, shape, pos_idx, size_name, bg)
+        name = f"{split}_{i:06d}"
+        cv2.imwrite(os.path.join(img_dir, f"{name}.jpg"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 95])
+        for c in classes:
+            raw = 1 if c in (color, shape) else 0 if c == bg else -1
+            lines[c].append(f"{name} {raw}")
+    for c in classes:
+        with open(os.path.join(set_dir, f"{c}_{split}.txt"), "w") as f:
+            f.write("\n".join(lines[c]) + "\n")
+    print(f"VOC2007/{split}: {n} images, {len(classes)} classes")
+
+
+def _write_gender(root: str, split: str, n: int, size: int,
+                  rng: np.random.RandomState) -> None:
+    """coco_gender layout for bias_eda: the protected attribute is shape
+    COLOR — red scenes are the "man" population, blue the "woman" one.
+    Definitional prompt pairs for the direction are then color pairs
+    (e.g. "a photo of a blue circle" / "a photo of a red circle"), and
+    the debiasing math runs unchanged (utils/we.py)."""
+    import pickle
+
+    img_dir = os.path.join(root, "images")
+    ann_dir = os.path.join(root, "gender_annotations")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+    ann = []
+    for i in range(n):
+        color = "red" if i % 2 == 0 else "blue"
+        _, shape, pos_idx, size_name, _ = _sample_scene(rng)
+        bg = [c for c in COLORS if c != color][rng.randint(len(COLORS) - 1)]
+        img, box = render(rng, size, color, shape, pos_idx, size_name, bg)
+        fname = f"images/{i:06d}.jpg"
+        cv2.imwrite(os.path.join(root, fname),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 95])
+        ann.append({"image_id": i, "filename": fname,
+                    "gender": "man" if color == "red" else "woman",
+                    "boxes": [box]})
+    with open(os.path.join(ann_dir, f"{split}.pkl"), "wb") as f:
+        pickle.dump(ann, f)
+    print(f"coco_gender/{split}: {n} images ({n // 2} per population)")
 
 
 def main(args) -> str:
     rng = np.random.RandomState(args.seed)
     coco_root = os.path.join(args.output_dir, "coco")
-    _write_split(coco_root, "train", args.train_n, args.image_size, rng)
-    _write_split(coco_root, "val", args.val_n, args.image_size, rng)
-    _write_zeroshot(os.path.join(args.output_dir, "imagenet"),
-                    args.zeroshot_per_class, args.image_size, rng)
+    if args.train_n:  # 0 = leave an existing corpus untouched
+        _write_split(coco_root, "train", args.train_n, args.image_size, rng)
+    if args.val_n:
+        _write_split(coco_root, "val", args.val_n, args.image_size, rng)
+    imnet = os.path.join(args.output_dir, "imagenet")
+    if args.zeroshot_per_class:
+        _write_imagenet(imnet, "val", args.zeroshot_per_class,
+                        args.image_size, rng)
+    if args.probe_train_per_class:
+        _write_imagenet(imnet, "train", args.probe_train_per_class,
+                        args.image_size, rng)
+    voc = os.path.join(args.output_dir, "VOC2007")
+    if args.voc_trainval:
+        _write_voc(voc, "trainval", args.voc_trainval, args.image_size, rng)
+    if args.voc_test:
+        _write_voc(voc, "test", args.voc_test, args.image_size, rng)
+    if args.gender_n:
+        _write_gender(os.path.join(args.output_dir, "coco_gender"), "val",
+                      args.gender_n, args.image_size, rng)
     return coco_root
 
 
