@@ -25,6 +25,14 @@ from typing import Any, Callable, Dict, Iterator, Optional
 import numpy as np
 
 
+class _ProducerError:
+    """Wraps an exception raised on a producer thread so the consuming
+    iterator re-raises it instead of treating it as end-of-stream."""
+
+    def __init__(self, error: BaseException):
+        self.error = error
+
+
 class DataLoader:
     """Epoch-based loader over a Dataset with collate_fn."""
 
@@ -56,8 +64,17 @@ class DataLoader:
             raise ValueError("multi-host loading requires drop_last=True "
                              "(a ragged tail batch cannot split evenly "
                              "across hosts)")
+        if shard_index is None:
+            if num_shards > 1:
+                raise ValueError("num_shards > 1 requires an explicit "
+                                 "shard_index (defaulting to 0 would load "
+                                 "duplicate data on every host)")
+            shard_index = 0
+        if not 0 <= shard_index < num_shards:
+            raise ValueError(f"shard_index {shard_index} out of range for "
+                             f"{num_shards} shards")
         self.num_shards = num_shards
-        self.shard_index = shard_index or 0
+        self.shard_index = shard_index
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
@@ -175,8 +192,12 @@ class DataLoader:
                     if stop.is_set():
                         return
                     q.put(self._load_batch(idxs, pool))
-            finally:
                 q.put(None)
+            except BaseException as e:
+                # Surface decode/collate errors to the consumer — a bare
+                # None sentinel would read as a silently-truncated epoch
+                # (e.g. a val sweep averaging over 0 batches).
+                q.put(_ProducerError(e))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -185,6 +206,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, _ProducerError):
+                    raise batch.error
                 yield batch
         finally:
             stop.set()
@@ -261,11 +284,6 @@ def infinite_batches(loader: DataLoader,
                 q.get_nowait()
             except queue.Empty:
                 break
-
-
-class _ProducerError:
-    def __init__(self, error: BaseException):
-        self.error = error
 
 
 def _infinite_batches_sync(loader: DataLoader,

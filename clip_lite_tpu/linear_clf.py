@@ -88,9 +88,6 @@ def main(_A) -> None:
 
     import os
 
-    key = os.path.basename(os.path.normpath(_C_down.DATA.ROOT))
-    num_classes = NUM_CLASSES.get(key, 1000)
-
     mesh = create_mesh(_C_down.PARALLEL.NUM_DEVICES)
     data_axis = _C_down.PARALLEL.DATA_AXIS
     background = mesh.devices.flat[0].platform != "cpu"
@@ -98,6 +95,15 @@ def main(_A) -> None:
     # Datasets + loaders.
     train_ds = DownstreamDatasetFactory.from_config(_C_down, split="train")
     val_ds = DownstreamDatasetFactory.from_config(_C_down, split="val")
+
+    # Head width: the dataset's own class map when it has one (real
+    # ImageNet still gives 1000), else the reference's path-keyed table
+    # (reference: linear_clf.py:91-106).
+    key = os.path.basename(os.path.normpath(_C_down.DATA.ROOT))
+    if getattr(train_ds, "class_to_idx", None):
+        num_classes = len(train_ds.class_to_idx)
+    else:
+        num_classes = NUM_CLASSES.get(key, 1000)
     put = lambda b: shard_batch(b, mesh, data_axis)
     train_loader = DataLoader(train_ds, _C_down.OPTIM.BATCH_SIZE,
                               shuffle=True, num_workers=_A.cpu_workers,
@@ -147,10 +153,18 @@ def main(_A) -> None:
             grads = jax.tree.map(lambda g: g / n, grads)
         loss = pmean_if_bound(loss, data_axis)
         new_stats = pmean_if_bound(mutated.get("batch_stats", {}), data_axis)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        from clip_lite_tpu.optim.fused import FusedOptimizer
+
+        if isinstance(tx, FusedOptimizer):  # OPTIM.FUSED (the default)
+            new_params, opt_state, _ = tx.apply(
+                grads, state.opt_state, state.params)
+        else:
+            updates, opt_state = tx.update(
+                grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda a, b: a + b,
+                                      state.params, updates)
         return state.replace(
-            step=state.step + 1,
-            params=jax.tree.map(lambda a, b: a + b, state.params, updates),
+            step=state.step + 1, params=new_params,
             batch_stats=new_stats, opt_state=opt_state), loss
 
     def eval_step(state, batch):

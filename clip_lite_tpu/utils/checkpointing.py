@@ -74,6 +74,33 @@ def _snapshot(tree):
     return jax.tree.unflatten(treedef, leaves)
 
 
+def _needs_gather(x) -> bool:
+    return isinstance(x, jax.Array) and not x.is_fully_addressable
+
+
+def _globalize(tree):
+    """Make every leaf fully addressable.
+
+    ZeRO-1 shards optimizer state P(data_axis) across the WHOLE mesh
+    (parallel/zero1.py); on a multi-host run host 0 cannot fetch those
+    leaves (`np.asarray` on an array spanning non-addressable devices
+    raises).  Such leaves are all-gathered to every process here.  This
+    is a COLLECTIVE: every host must call it, so it runs BEFORE the
+    host-0 write gate in step()/climax_step().  Fully-addressable trees
+    (single host, or replicated state) pass through untouched.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    idx = [i for i, x in enumerate(leaves) if _needs_gather(x)]
+    if idx:
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(
+            [leaves[i] for i in idx], tiled=True)
+        for i, g in zip(idx, gathered):
+            leaves[i] = g
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def _atomic_write(path: str, data: bytes) -> None:
     """Write via temp file + rename so a crash/kill mid-write can never
     leave a truncated checkpoint behind."""
@@ -104,8 +131,10 @@ class CheckpointManager:
     @staticmethod
     def _is_writer() -> bool:
         """Multi-host: only host 0 touches the filesystem (the reference's
-        master-only saves, train.py:251-255).  State is replicated across
-        hosts, so host 0's copy is the global truth."""
+        master-only saves, train.py:251-255).  Params/batch_stats are
+        replicated across hosts; leaves that are NOT fully addressable
+        (ZeRO-1 optimizer shards) are all-gathered by _globalize before
+        this gate, so host 0's copy is the global truth."""
         from clip_lite_tpu.parallel.distributed import (
             is_primary_host,
             process_count,
@@ -122,9 +151,10 @@ class CheckpointManager:
         Non-primary hosts: no-op (returns the path host 0 writes)."""
         path = os.path.join(self.serialization_dir,
                             f"checkpoint_{iteration}.msgpack")
+        # Collective (multi-host + sharded leaves): all hosts participate.
+        objs = _globalize(dict(self.checkpointables))
         if not self._is_writer():
             return path
-        objs = dict(self.checkpointables)
         if self._executor is not None:
             self.wait()  # at most one save in flight
             objs = _snapshot(objs)  # decouple from later buffer donation
@@ -172,6 +202,9 @@ class CheckpointManager:
         state = self.checkpointables[model_key]
         path = os.path.join(self.serialization_dir,
                             f"climax_model_{iteration}.msgpack")
+        # Collective (multi-host + sharded leaves): all hosts participate.
+        state = state.replace(params=_globalize(state.params),
+                              batch_stats=_globalize(state.batch_stats))
         if not self._is_writer():
             return path
         if self._executor is not None:

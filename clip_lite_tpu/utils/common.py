@@ -63,7 +63,7 @@ def apply_platform_args(args) -> None:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if getattr(args, "num_hosts", 1) and args.num_hosts > 1:
+    if getattr(args, "num_hosts", 1) > 1:
         from clip_lite_tpu.parallel.distributed import initialize_multihost
 
         initialize_multihost(args.coordinator_address, args.num_hosts,

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import pytest
 
 from clip_lite_tpu.engine import TrainState
+from clip_lite_tpu.utils import checkpointing as ckpt_mod
 from clip_lite_tpu.utils.checkpointing import (
     CheckpointManager,
     latest_checkpoint,
@@ -190,3 +191,50 @@ def test_async_write_failure_is_raised_on_wait(tmp_path, monkeypatch):
     m.step(10)
     with pytest.raises(OSError, match="disk full"):
         m.wait()
+
+
+def test_globalize_is_identity_when_fully_addressable():
+    """Single-host / replicated trees must pass through untouched (no
+    copies, no collectives)."""
+    tree = {"np": np.arange(4), "jax": jnp.ones((2, 2)), "s": 3}
+    out = ckpt_mod._globalize(tree)
+    assert out["np"] is tree["np"]
+    assert out["jax"] is tree["jax"]
+    assert out["s"] == 3
+
+
+def test_globalize_gathers_non_addressable_leaves(monkeypatch):
+    """ZeRO-1 shards opt state across the whole mesh; on multi-host runs
+    host 0 cannot fetch those leaves directly — _globalize must route them
+    through process_allgather (and leave addressable leaves alone)."""
+    import jax
+
+    sharded = jnp.arange(8.0)
+    replicated = jnp.ones(3)
+    monkeypatch.setattr(ckpt_mod, "_needs_gather", lambda x: x is sharded)
+    calls = {}
+
+    def fake_allgather(leaves, tiled):
+        calls["leaves"] = leaves
+        calls["tiled"] = tiled
+        return [np.asarray(l) * 10 for l in leaves]
+
+    monkeypatch.setattr("jax.experimental.multihost_utils.process_allgather",
+                        fake_allgather)
+    out = ckpt_mod._globalize({"opt": sharded, "p": replicated})
+    assert calls["tiled"] is True
+    assert len(calls["leaves"]) == 1
+    np.testing.assert_array_equal(np.asarray(out["opt"]),
+                                  np.arange(8.0) * 10)
+    assert out["p"] is replicated
+
+
+def test_apply_platform_args_tolerates_missing_multihost_attrs():
+    """Eval CLI arg namespaces may lack --num-hosts entirely; the platform
+    hook must not blow up on the absent attribute."""
+    import argparse
+
+    from clip_lite_tpu.utils.common import apply_platform_args
+
+    args = argparse.Namespace(platform=None, virtual_devices=None)
+    apply_platform_args(args)  # must not raise

@@ -208,6 +208,43 @@ def test_loader_epoch_reshuffle_and_len():
     assert sorted(o0) == list(range(32))
 
 
+def test_loader_shard_index_must_be_explicit_and_in_range():
+    """num_shards > 1 with a defaulted shard_index would silently load the
+    SAME data on every host; it must be an error instead."""
+    ds = RandomDataset(mode="train_sbert", length=32, image_size=32,
+                       image_transform=T.Compose([T.SquareResize(32)]))
+    with pytest.raises(ValueError, match="explicit"):
+        DataLoader(ds, batch_size=8, num_workers=1, num_shards=2,
+                   background=False)
+    with pytest.raises(ValueError, match="out of range"):
+        DataLoader(ds, batch_size=8, num_workers=1, num_shards=2,
+                   shard_index=2, background=False)
+    with pytest.raises(ValueError, match="out of range"):
+        DataLoader(ds, batch_size=8, num_workers=1, num_shards=2,
+                   shard_index=-1, background=False)
+
+
+class _BoomDataset(RandomDataset):
+    """Raises mid-epoch to exercise producer-thread error propagation."""
+
+    def __getitem__(self, idx):
+        if idx == 5:
+            raise RuntimeError("decode failed for item 5")
+        return super().__getitem__(idx)
+
+
+def test_loader_background_producer_error_propagates():
+    """A crash on the producer thread must re-raise in the consumer, not
+    read as a silently-truncated epoch (e.g. a val sweep over 0 batches)."""
+    ds = _BoomDataset(mode="train_sbert", length=16, image_size=32,
+                      image_transform=T.Compose([T.SquareResize(32)]))
+    loader = DataLoader(ds, batch_size=8, shuffle=False, num_workers=1,
+                        background=True, num_shards=1, shard_index=0)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for _ in loader:
+            pass
+
+
 def test_infinite_batches_resume_exact():
     ds = RandomDataset(mode="train_sbert", length=32, image_size=32,
                        image_transform=T.Compose([T.SquareResize(32)]))
