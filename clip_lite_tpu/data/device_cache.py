@@ -145,18 +145,35 @@ class DeviceDataCache:
             block = perm[start:start + valid[d]]
             start += valid[d]
             take[d * m:(d + 1) * m] = np.resize(block, m)
-        images, ids, mask, n_caps, image_ids = (
-            a[take] for a in (images, ids, mask, n_caps, image_ids))
-
-        corpus_spec = P(data_axis) if placement == "sharded" else P()
-        put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
-        self._images = put(images, corpus_spec)
-        self._ids = put(ids, corpus_spec)
-        self._mask = put(mask, corpus_spec)
-        self._n_caps = put(n_caps, corpus_spec)
-        self._image_ids = put(image_ids, corpus_spec)
-        self._valid = put(valid, P(data_axis) if placement == "sharded"
-                          else P())
+        if placement == "sharded":
+            # Per-device assembly: gather + ship one shard's rows at a
+            # time, so peak extra host RAM is corpus/n_dev — a full
+            # permuted copy (`a[take]`) would transiently DOUBLE host
+            # memory for the dominant images array (23 GB at the
+            # flagship corpus size).
+            def put(a, spec=P(data_axis)):
+                sharding = NamedSharding(mesh, spec)
+                shards = [
+                    jax.device_put(np.ascontiguousarray(
+                        a[take[d * m:(d + 1) * m]]), dev)
+                    for d, dev in enumerate(mesh.devices.flat)]
+                return jax.make_array_from_single_device_arrays(
+                    (m * n_dev,) + a.shape[1:], sharding, shards)
+        else:
+            def put(a, spec=P()):
+                return jax.device_put(a[take], NamedSharding(mesh, spec))
+        self._images = put(images)
+        self._ids = put(ids)
+        self._mask = put(mask)
+        self._n_caps = put(n_caps)
+        self._image_ids = put(image_ids)
+        if placement == "sharded":
+            shards = [jax.device_put(valid[d:d + 1], dev)
+                      for d, dev in enumerate(mesh.devices.flat)]
+            self._valid = jax.make_array_from_single_device_arrays(
+                (n_dev,), NamedSharding(mesh, P(data_axis)), shards)
+        else:
+            self._valid = jax.device_put(valid, NamedSharding(mesh, P()))
         self._n = n
         self._sample = self._make_sampler(mesh, n_dev, data_axis)
         self._step = 0

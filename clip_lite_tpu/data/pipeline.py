@@ -33,6 +33,70 @@ class _ProducerError:
         self.error = error
 
 
+class _ConsumerGone(Exception):
+    """Raised inside a producer's emit() when the consumer has left."""
+
+
+def _background_batches(produce: Callable, prefetch: int) -> Iterator[Any]:
+    """Run ``produce(emit)`` on a daemon thread; yield what it emits.
+
+    The single producer/consumer implementation behind both the
+    epoch-bounded ``DataLoader.__iter__`` and the unbounded
+    ``infinite_batches`` (previously two drifting copies):
+
+      * bounded queue of ``prefetch`` finished batches;
+      * producer exceptions re-raised in the consumer (not end-of-stream);
+      * consumer teardown (break / GC) unblocks the producer promptly —
+        ``emit`` retries with a timeout and raises ``_ConsumerGone``.
+
+    ``produce`` calls ``emit(batch)`` per batch; returning normally ends
+    the stream (``infinite_batches``'s producer never returns).
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+    done = object()
+
+    def emit(batch) -> None:
+        while not stop.is_set():
+            try:
+                q.put(batch, timeout=0.5)
+                return
+            except queue.Full:
+                continue
+        raise _ConsumerGone
+
+    def runner():
+        try:
+            produce(emit)
+            emit(done)
+        except _ConsumerGone:
+            pass
+        except BaseException as e:
+            try:
+                emit(_ProducerError(e))
+            except _ConsumerGone:
+                pass
+
+    thread = threading.Thread(target=runner, daemon=True,
+                              name="batch_producer")
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            if isinstance(item, _ProducerError):
+                raise item.error
+            yield item
+    finally:
+        stop.set()
+        while True:  # drain so the producer can exit a blocking put
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+
+
 class DataLoader:
     """Epoch-based loader over a Dataset with collate_fn."""
 
@@ -53,6 +117,10 @@ class DataLoader:
         # global array from the per-process pieces.  Defaults follow
         # jax.process_count()/process_index(); pass explicitly for tests.
         if num_shards is None:
+            if shard_index is not None:
+                raise ValueError("shard_index was given without num_shards; "
+                                 "pass both (silently defaulting num_shards "
+                                 "would discard the requested shard)")
             import jax
 
             num_shards = jax.process_count()
@@ -182,42 +250,16 @@ class DataLoader:
             finally:
                 pool.shutdown(wait=False)
             return
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
 
-        def producer():
+        def produce(emit):
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
             try:
                 for idxs in self._batches():
-                    if stop.is_set():
-                        return
-                    q.put(self._load_batch(idxs, pool))
-                q.put(None)
-            except BaseException as e:
-                # Surface decode/collate errors to the consumer — a bare
-                # None sentinel would read as a silently-truncated epoch
-                # (e.g. a val sweep averaging over 0 batches).
-                q.put(_ProducerError(e))
+                    emit(self._load_batch(idxs, pool))
+            finally:
+                pool.shutdown(wait=False)
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        try:
-            while True:
-                batch = q.get()
-                if batch is None:
-                    break
-                if isinstance(batch, _ProducerError):
-                    raise batch.error
-                yield batch
-        finally:
-            stop.set()
-            # Drain so the producer can exit its blocking put.
-            while True:
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    break
-            pool.shutdown(wait=False)
+        yield from _background_batches(produce, self.prefetch)
 
 
 def infinite_batches(loader: DataLoader,
@@ -241,49 +283,21 @@ def infinite_batches(loader: DataLoader,
         yield from _infinite_batches_sync(loader, start_iteration)
         return
 
-    q: "queue.Queue" = queue.Queue(maxsize=max(1, loader.prefetch))
-    stop = threading.Event()
-
-    def producer():
+    def produce(emit):
         pool = ThreadPoolExecutor(max_workers=loader.num_workers)
         per_epoch = len(loader)
         iteration = start_iteration
         try:
-            while not stop.is_set():
+            while True:
                 loader.set_epoch(iteration // per_epoch)
                 for idxs in loader._batches(iteration % per_epoch):
-                    if stop.is_set():
-                        return
                     loader.set_iteration(iteration)
-                    batch = loader._load_batch(idxs, pool)
-                    while not stop.is_set():
-                        try:
-                            q.put(batch, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
+                    emit(loader._load_batch(idxs, pool))
                     iteration += 1
-        except BaseException as e:  # surface loader errors to the consumer
-            q.put(_ProducerError(e))
         finally:
             pool.shutdown(wait=False)
 
-    thread = threading.Thread(target=producer, daemon=True,
-                              name="infinite_batches_producer")
-    thread.start()
-    try:
-        while True:
-            item = q.get()
-            if isinstance(item, _ProducerError):
-                raise item.error
-            yield item
-    finally:
-        stop.set()
-        while True:  # drain so the producer can exit a blocking put
-            try:
-                q.get_nowait()
-            except queue.Empty:
-                break
+    yield from _background_batches(produce, loader.prefetch)
 
 
 def _infinite_batches_sync(loader: DataLoader,

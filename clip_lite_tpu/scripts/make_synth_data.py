@@ -126,9 +126,10 @@ def _draw_shape(img: np.ndarray, shape: str, color, cx: int, cy: int,
 
 def render(rng: np.random.RandomState, size: int, color_name: str,
            shape: str, pos_idx: int, size_name: str, bg_name: str
-           ) -> np.ndarray:
+           ) -> tuple:
     """One (color, shape, position, size, background) scene, with noise
-    and brightness jitter so the mapping is not pixel-trivial."""
+    and brightness jitter so the mapping is not pixel-trivial.
+    Returns ``(image, box)`` where box is the shape's (x0, y0, x1, y1)."""
     bg = np.asarray(COLORS[bg_name], np.float32) * rng.uniform(0.25, 0.55)
     img = np.tile(bg.astype(np.uint8), (size, size, 1)).astype(np.uint8)
     noise = rng.normal(0, 12, img.shape)

@@ -96,13 +96,27 @@ def main(_A) -> dict:
     work = _A.work_dir or tempfile.mkdtemp(prefix="quality_")
     os.makedirs(work, exist_ok=True)
     pre_cfg = os.path.join(run_dir, "pretrain_config.yaml")
-    ckpts = sorted(
-        glob.glob(os.path.join(run_dir, "*", "checkpoint_[0-9]*.msgpack")),
-        key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
-    if not ckpts:
+    # One RUN_ID directory only: a reused run_dir can hold several
+    # <RUN_ID> subdirs (e.g. a crashed run plus its re-run); globbing
+    # across them would interleave checkpoints from different models
+    # under the same step keys.  Pick the most recently written run.
+    all_ckpts = glob.glob(
+        os.path.join(run_dir, "*", "checkpoint_[0-9]*.msgpack"))
+    if not all_ckpts:
         raise SystemExit(f"no checkpoints under {run_dir}")
+    by_run = {}
+    for p in all_ckpts:
+        by_run.setdefault(os.path.dirname(p), []).append(p)
+    if len(by_run) > 1:
+        print(f"!! {len(by_run)} RUN_ID dirs under {run_dir}; "
+              "using the most recent", flush=True)
+    run_subdir = max(by_run, key=lambda d: max(os.path.getmtime(p)
+                                               for p in by_run[d]))
+    ckpts = sorted(by_run[run_subdir],
+                   key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
     final = ckpts[-1]
-    sweep = ckpts[-_A.retrieval_checkpoints:]
+    n_sweep = _A.retrieval_checkpoints
+    sweep = ckpts[-n_sweep:] if n_sweep > 0 else []
     step_of = lambda p: int(p.rsplit("_", 1)[1].split(".")[0])
 
     out = {"run_dir": run_dir, "final_checkpoint": final,

@@ -135,12 +135,9 @@ class CheckpointManager:
         replicated across hosts; leaves that are NOT fully addressable
         (ZeRO-1 optimizer shards) are all-gathered by _globalize before
         this gate, so host 0's copy is the global truth."""
-        from clip_lite_tpu.parallel.distributed import (
-            is_primary_host,
-            process_count,
-        )
+        from clip_lite_tpu.parallel.distributed import is_primary_host
 
-        return process_count() == 1 or is_primary_host()
+        return is_primary_host()  # True on single-host runs by definition
 
     # -- saving ------------------------------------------------------------
     def step(self, iteration: int, metric: Optional[float] = None,

@@ -27,12 +27,9 @@ class MetricsWriter:
         # Multi-host: metric sinks live on host 0 only (the reference's
         # master-only wandb logging, train.py:132,235-248); other hosts
         # get a writer whose write() is a no-op.
-        from clip_lite_tpu.parallel.distributed import (
-            is_primary_host,
-            process_count,
-        )
+        from clip_lite_tpu.parallel.distributed import is_primary_host
 
-        self._active = process_count() == 1 or is_primary_host()
+        self._active = is_primary_host()  # True on single-host runs
         self._jsonl = None
         self._tb = None
         self._wandb = None

@@ -1,0 +1,119 @@
+"""True 2-process multi-host integration: the REAL train.py driver run as
+two coordinated processes (gloo rendezvous on the CPU backend), not mocks.
+
+Covers the full multi-host contract end to end (reference launch semantics:
+utils/distributed.py:15-113 + master-only writes train.py:251-255):
+
+  * ``--num-hosts/--host-rank/--coordinator-address`` ->
+    ``jax.distributed.initialize`` through ``apply_platform_args``;
+  * per-host DataLoader sharding + ``shard_batch``'s
+    ``make_array_from_process_local_data`` global-array assembly;
+  * cross-process gradient psum inside the compiled step;
+  * host-0-only checkpoint/metrics/config writes;
+  * numeric equivalence: the 2-process loss stream matches a single-process
+    run over the same 2-device global batch.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+TINY = [
+    "MODEL.NAME", "random", "DATA.NAME", "train_sbert",
+    "MODEL.VISUAL.NETWORK_NAME", "resnet18",
+    "MODEL.VISUAL.FEATURE_SIZE", "512",
+    "MODEL.TEXTUAL.NUM_HIDDEN_LAYERS", "1",
+    "DATA.IMAGE_CROP_SIZE", "32", "DATA.MAX_CAPTION_LENGTH", "8",
+    "OPTIM.BATCH_SIZE", "8", "OPTIM.NUM_ITERATIONS", "4",
+    "OPTIM.WARMUP_STEPS", "2",
+]
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_train(ser_dir: str, extra: list, timeout: int = 900):
+    cmd = [sys.executable, "-m", "clip_lite_tpu.train",
+           "--platform", "cpu",
+           "--config-override", *TINY,
+           "--checkpoint-every", "2", "--log-every", "1",
+           "--cpu-workers", "1",
+           "--serialization-dir", ser_dir] + extra
+    return subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True), timeout
+
+
+def _losses(ser_dir: str) -> dict:
+    out = {}
+    with open(os.path.join(ser_dir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("split") == "train":
+                out[rec["iteration"]] = rec["total_loss"]
+    return out
+
+
+def test_two_process_train_matches_single_process(tmp_path):
+    port = _free_port()
+    dirs = [str(tmp_path / f"host{r}") for r in (0, 1)]
+    procs = []
+    for rank in (0, 1):
+        p, to = _run_train(dirs[rank], [
+            "--num-hosts", "2", "--host-rank", str(rank),
+            "--coordinator-address", f"localhost:{port}"])
+        procs.append(p)
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"host {rank} failed:\n{out[-3000:]}"
+
+    # Host-0-only IO: rank 1's serialization dir has no checkpoints, no
+    # metrics stream, no dumped config.
+    host0_files = set()
+    for root, _, files in os.walk(dirs[0]):
+        host0_files.update(files)
+    assert any(f.startswith("checkpoint_") for f in host0_files)
+    assert "metrics.jsonl" in host0_files
+    host1_files = set()
+    for root, _, files in os.walk(dirs[1]):
+        host1_files.update(files)
+    assert not any(f.startswith("checkpoint_") for f in host1_files)
+    assert "metrics.jsonl" not in host1_files
+
+    # Numeric equivalence vs ONE process over the same 2-device global
+    # batch (same seed => the sharded loaders reassemble the identical
+    # global array; only the cross-process psum differs from the
+    # in-process one).
+    single_dir = str(tmp_path / "single")
+    p, _ = _run_train(single_dir, ["--virtual-devices", "2"])
+    out = p.communicate(timeout=900)[0]
+    assert p.returncode == 0, f"single-process run failed:\n{out[-3000:]}"
+
+    multi, single = _losses(dirs[0]), _losses(single_dir)
+    assert multi and set(multi) == set(single)
+    # Tolerances, from measured behavior on this exact config:
+    #   * iteration 1 (identical params + identical global batch) agrees
+    #     to rel 1.2e-5 across process layouts — the residual is XLA
+    #     compiling the same 2-device SPMD program per process vs once,
+    #     plus the cross-process (vs in-process) psum.  5e-4 is ~40x
+    #     that noise floor, and every real multi-host bug this test
+    #     exists to catch (double-loaded rows, wrong psum weighting,
+    #     per-host RNG skew) lands >= 1e-2 on step 1.
+    #   * later iterations amplify step-1 noise chaotically (~60x/step
+    #     through batch-4-per-shard BN + warmup SGD: measured rel 7e-4
+    #     at iter 2, 2.5e-2 at iter 3), so equality there is not a
+    #     meaningful contract; 0.15 remains as a gross-divergence net.
+    np.testing.assert_allclose(multi[1], single[1], rtol=5e-4,
+                               err_msg="iteration 1")
+    for it in multi:
+        np.testing.assert_allclose(multi[it], single[it], rtol=0.15,
+                                   err_msg=f"iteration {it}")
