@@ -230,18 +230,21 @@ def compile_train_step(model, tx, mesh: Mesh, data_axis: str = "data",
         an opaque INVALID_ARGUMENT.
     See parallel.mesh.donation_supported.
     """
+    from clip_lite_tpu.optim.fused import FusedOptimizer
     from clip_lite_tpu.parallel.mesh import donation_supported
 
     if not donation_supported(mesh):
         donate = False
     step = make_scanned_train_step(model, tx, data_axis, steps_per_call)
     donate_argnums = (0,) if donate else ()
+    hoisted = isinstance(tx, FusedOptimizer) and tx.hoisted
     if mesh.devices.size == 1:
         # Single device: plain jit. Identical semantics (the data axis is
         # unbound, so collectives and the grad division no-op away) and it
         # avoids shard_map's sharded-dispatch path, which is pathologically
         # slow on tunneled backends (~250x observed).
-        return jax.jit(step, donate_argnums=donate_argnums)
+        return _strip_slow(jax.jit(step, donate_argnums=donate_argnums),
+                           hoisted)
     # Batches shard on their batch dim: axis 0 for single steps, axis 1
     # (after the leading K) for scanned multi-step calls.
     batch_spec = P(data_axis) if steps_per_call <= 1 \
@@ -258,7 +261,65 @@ def compile_train_step(model, tx, mesh: Mesh, data_axis: str = "data",
         # cannot prove — same reason zero1.py disables it).
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=donate_argnums)
+    return _strip_slow(jax.jit(sharded, donate_argnums=donate_argnums),
+                       hoisted)
+
+
+def _strip_slow(compiled: Callable, hoisted: bool) -> Callable:
+    """Hoisted-Lookahead mode: keep the slow tree OUT of the compiled
+    step.
+
+    ``FusedOptimizer.apply`` passes ``slow_params`` through untouched in
+    hoisted mode, but without buffer donation (disabled on tunneled TPU
+    and CPU meshes, parallel.mesh.donation_supported) XLA does not alias
+    an untouched input to an output — every step would COPY the full
+    slow tree (~450 kernels / 1.3 GB HBM traffic on the flagship, ~2 ms
+    measured).  Here the slow leaves never enter the program: they are
+    detached from the input state and re-attached to the output state in
+    Python (pure pytree surgery, no device work), so the caller-visible
+    contract — TrainState in, TrainState of the same structure out — is
+    unchanged for the train loop, checkpointing, and the la_sync call.
+    """
+    if not hoisted:
+        return compiled
+
+    def call(state, batch, rng):
+        slow = state.opt_state.slow_params
+        lean = state.replace(
+            opt_state=state.opt_state._replace(slow_params={}))
+        new_lean, metrics = compiled(lean, batch, rng)
+        new_state = new_lean.replace(
+            opt_state=new_lean.opt_state._replace(slow_params=slow))
+        return new_state, metrics
+
+    # AOT surface for callers that pre-compile (the dryrun legs):
+    # lower(...).compile() returns an executable with the SAME
+    # full-state contract as ``call``.
+    class _Lowered:
+        def __init__(self, lowered):
+            self._lowered = lowered
+
+        def compile(self):
+            exe = self._lowered.compile()
+
+            def run(state, batch, rng):
+                slow = state.opt_state.slow_params
+                lean = state.replace(
+                    opt_state=state.opt_state._replace(slow_params={}))
+                new_lean, metrics = exe(lean, batch, rng)
+                return new_lean.replace(
+                    opt_state=new_lean.opt_state._replace(
+                        slow_params=slow)), metrics
+
+            return run
+
+    def lower(state, batch, rng):
+        lean = state.replace(
+            opt_state=state.opt_state._replace(slow_params={}))
+        return _Lowered(compiled.lower(lean, batch, rng))
+
+    call.lower = lower
+    return call
 
 
 def compile_eval_step(model, mesh: Mesh, data_axis: str = "data") -> Callable:

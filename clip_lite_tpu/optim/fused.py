@@ -40,11 +40,17 @@ class FusedOptState(NamedTuple):
 
 
 class FusedOptimizer(NamedTuple):
-    """init/apply pair; ``apply`` returns new params directly."""
+    """init/apply pair; ``apply`` returns new params directly.
+
+    ``hoisted`` marks the hoisted-Lookahead mode: ``apply`` passes the
+    slow tree through untouched, and the engine strips it from the
+    compiled step entirely (see engine.compile_train_step) — the sync
+    runs as the loop's separate program every k-th step."""
 
     init: Callable[[Any], FusedOptState]
     apply: Callable[..., tuple]  # (grads, state, params) ->
     #                              (new_params, new_state, grad_norm)
+    hoisted: bool = False
 
 
 def build_fused_optimizer(config, schedule_fn=None,
@@ -144,9 +150,15 @@ def build_fused_optimizer(config, schedule_fn=None,
 
         if la_use and hoist_lookahead:
             # Sync happens in the loop's separate program (see the
-            # build_fused_optimizer docstring); here the slow tree is a
-            # pure pass-through (jit aliases untouched inputs to outputs
-            # — no copy, no cond).
+            # build_fused_optimizer docstring); here the slow tree passes
+            # through untouched.  NOTE: without donation XLA does NOT
+            # alias an untouched input to an output — it copies (measured:
+            # ~450 copy kernels / 1.3 GB of HBM traffic per step on the
+            # flagship through the tunnel).  compile_train_step therefore
+            # strips the slow tree out of the compiled program entirely
+            # when ``tx.hoisted``; this branch only runs if the optimizer
+            # is used outside that wrapper, where the pass-through cost is
+            # accepted.
             new_params, new_slow = fast_params, state.slow_params
         elif la_use:
             # Lookahead touches the slow weights only every ``la_k``-th
@@ -192,7 +204,8 @@ def build_fused_optimizer(config, schedule_fn=None,
             count=state.count + 1, la_count=la_count)
         return new_params, new_state, gnorm
 
-    return FusedOptimizer(init=init, apply=apply)
+    return FusedOptimizer(init=init, apply=apply,
+                          hoisted=bool(la_use and hoist_lookahead))
 
 
 def build_lookahead_sync(config) -> Callable:

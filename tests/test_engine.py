@@ -124,3 +124,65 @@ def test_determinism_same_rng(setup):
     # different rng -> different prior noise -> different total loss
     _, m3 = step_fn(state, batch, jax.random.PRNGKey(8))
     assert float(m1["total_loss"]) != float(m3["total_loss"])
+
+
+def test_hoisted_step_keeps_slow_tree_out_of_program(setup):
+    """Hoisted-Lookahead mode: the compiled step must neither copy nor
+    touch the slow tree (engine._strip_slow — without donation XLA would
+    copy the full slow tree through the output every step), and the
+    full-step trajectory must match the in-step Lookahead at the same
+    cadence, through shard_map AND through the AOT lower().compile()
+    surface."""
+    cfg, model, _, _, mesh = setup
+    k = 3
+    la_cfg = Config(override_list=TINY + [
+        "OPTIM.LOOKAHEAD.USE", True, "OPTIM.LOOKAHEAD.STEPS", k,
+    ])
+    from clip_lite_tpu.optim.fused import build_lookahead_sync
+
+    tx_h = OptimizerFactory.from_config(la_cfg, hoist_lookahead=True)
+    tx_i = OptimizerFactory.from_config(la_cfg)
+    assert tx_h.hoisted and not tx_i.hoisted
+    state_h = create_train_state(model, tx_h, tiny_batch())
+    state_i = create_train_state(model, tx_i, tiny_batch())
+    step_h = compile_train_step(model, tx_h, mesh, donate=False)
+    step_i = compile_train_step(model, tx_i, mesh, donate=False)
+    la_sync = build_lookahead_sync(la_cfg)
+    batch = shard_batch(tiny_batch(9), mesh)
+    rng = jax.random.PRNGKey(0)
+
+    for it in range(1, k + 2):
+        slow_before = jax.tree.leaves(state_h.opt_state.slow_params)
+        state_h, m_h = step_h(state_h, batch, rng)
+        state_i, m_i = step_i(state_i, batch, rng)
+        # The slow leaves are the very same arrays — never copied,
+        # never entered the compiled program.
+        for a, b in zip(slow_before,
+                        jax.tree.leaves(state_h.opt_state.slow_params)):
+            assert a is b
+        if it % k == 0:
+            p, s = la_sync(state_h.params, state_h.opt_state.slow_params)
+            state_h = state_h.replace(
+                params=p,
+                opt_state=state_h.opt_state._replace(slow_params=s))
+        np.testing.assert_allclose(float(m_h["total_loss"]),
+                                   float(m_i["total_loss"]), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(state_h.params),
+                        jax.tree.leaves(state_i.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=1e-6,
+                                       err_msg=f"params step {it}")
+        for a, b in zip(jax.tree.leaves(state_h.opt_state.slow_params),
+                        jax.tree.leaves(state_i.opt_state.slow_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=1e-6,
+                                       err_msg=f"slow step {it}")
+
+    # AOT surface: lower().compile() honors the same full-state contract.
+    compiled = step_h.lower(state_h, batch, rng).compile()
+    slow_before = jax.tree.leaves(state_h.opt_state.slow_params)
+    new_state, metrics = compiled(state_h, batch, rng)
+    for a, b in zip(slow_before,
+                    jax.tree.leaves(new_state.opt_state.slow_params)):
+        assert a is b
+    assert np.isfinite(float(metrics["total_loss"]))
