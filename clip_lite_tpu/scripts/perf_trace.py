@@ -34,6 +34,10 @@ def main() -> None:
     p.add_argument("--trace-dir", default="/tmp/clip_lite_perf_trace")
     p.add_argument("--json", action="store_true",
                    help="print ONE JSON line instead of tables")
+    p.add_argument("--hoist-la", action="store_true",
+                   help="trace the hoisted-Lookahead step (what bench.py "
+                        "and train.py run on TPU); the k-th-step sync is "
+                        "a separate program and NOT in this trace")
     args = p.parse_args()
 
     import jax
@@ -63,7 +67,7 @@ def main() -> None:
     apply_rng_impl(cfg)
 
     model = PretrainingModelFactory.from_config(cfg)
-    tx = OptimizerFactory.from_config(cfg)
+    tx = OptimizerFactory.from_config(cfg, hoist_lookahead=args.hoist_la)
     rng = np.random.RandomState(0)
     b, s = args.batch, args.seq
     batch = {
