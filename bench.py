@@ -58,6 +58,17 @@ def peak_tflops(device) -> float:
     return 197.0  # assume v5e
 
 
+def _progress(msg: str) -> None:
+    """Timestamped stage marker on stderr (stdout carries only the JSON
+    result line): a killed/stalled run shows WHERE it was — through the
+    remote-compile tunnel a single cold Mosaic kernel can take minutes,
+    which is indistinguishable from a hang without these."""
+    import sys
+
+    print(f"bench[{time.strftime('%H:%M:%S')}]: {msg}",
+          file=sys.stderr, flush=True)
+
+
 def _enable_compile_cache() -> None:
     """Persistent XLA compilation cache: the flagship step now contains
     Pallas (Mosaic) kernels whose first compile through the tunnel costs
@@ -132,6 +143,7 @@ def _measure(per_chip_batch: int, steps_per_call: int = 1,
         }
 
     batch = make_batch(seq)
+    _progress(f"building state (bs={batch_size}, seq={seq})")
     state = create_train_state(model, tx, batch)
     mesh = create_mesh(data_axis=cfg.PARALLEL.DATA_AXIS)
     step = compile_train_step(model, tx, mesh, cfg.PARALLEL.DATA_AXIS,
@@ -167,6 +179,8 @@ def _measure(per_chip_batch: int, steps_per_call: int = 1,
     # timed loop (~8.5 s of remote compile over 20 steps), reporting
     # 261 img/s for a 64 ms step — the BENCH_r03 headline collapse.
     n_warm = max(3, la_k + 2) if hoist_la else 3
+    _progress(f"compiling + warming the step ({n_warm} iters; cold Mosaic "
+              "compiles can take minutes through the tunnel)")
     for _ in range(n_warm):
         metrics = one_step()
     _ = float(metrics["total_loss"])
@@ -180,7 +194,9 @@ def _measure(per_chip_batch: int, steps_per_call: int = 1,
             time.perf_counter() - t0) / n_chips
 
     n_calls = max(3, 20 // steps_per_call)
+    _progress("warm; timing")
     per_chip = timed(n_calls)
+    _progress(f"headline {per_chip:.1f} img/s/chip")
 
     roofline = peak_tflops(devices[0]) * 1e3 / FLAGSHIP_TRAIN_GFLOPS_PER_IMAGE
     target = 0.9 * roofline
@@ -206,6 +222,7 @@ def _measure(per_chip_batch: int, steps_per_call: int = 1,
                 m = one_step()
             _ = float(m["total_loss"])
 
+        _progress("trace audit (jax.profiler capture + parse)")
         summary = trace_step_roofline(run, n_trace,
                                       "/tmp/clip_lite_bench_trace")
         if summary:
@@ -236,6 +253,7 @@ def _measure(per_chip_batch: int, steps_per_call: int = 1,
 
     # Secondary: the reference's fixed S=30 shape (no trace).
     if seq != 30:
+        _progress("S=30 secondary (new program: compile + time)")
         batch30 = make_batch(30)
         if steps_per_call > 1:
             batch30 = stack_batches([batch30] * steps_per_call)
