@@ -49,11 +49,19 @@ runs the SAME per-device sampler over each device's logical block, so
 the two placements produce bit-identical batches — placement is purely
 a memory/layout choice, verified by tests/test_device_cache.py.
 
-Single-host only: sharding the corpus from one controller uses
-jax.device_put, which requires all mesh devices addressable.  On a
-multi-host pod each host would decode only its local shard and place it
-with jax.make_array_from_process_local_data — not wired yet (the host
-DataLoader path IS multi-host capable, data/pipeline.py).
+Multi-host pods: every process computes the same seed-keyed corpus
+partition, decodes ONLY the rows landing on its addressable devices,
+and contributes per-device shards to one global array
+(jax.make_array_from_single_device_arrays — the same global-array
+assembly shard_batch uses for host batches).  The two corpus-global
+pad shapes (max caption count, max token length) are agreed via a
+process_allgather of the local maxima, so all hosts build identical
+global shapes.  Batches remain a pure function of (seed, step) and
+bit-match the single-process sharded cache over the same global mesh
+(tests/test_device_cache_multihost.py runs 2 REAL processes).  The
+reference's multi-machine data path is DistributedSampler sharding
+(reference: train.py:78-93); this is its TPU-first, compute-bound
+counterpart.
 
 The reference has no equivalent (its DataLoader always round-trips the
 host, reference: train.py:78-117); this is pure TPU-first surface.
@@ -107,30 +115,20 @@ class DeviceDataCache:
         if batch_size % n_dev:
             raise ValueError(f"batch_size {batch_size} must divide across "
                              f"{n_dev} devices on axis {data_axis!r}")
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "DeviceDataCache is single-host; use the DataLoader path "
-                "(multi-host capable) on pods")
         self.batch_size = batch_size
         self.crop_size = crop_size
         self.cache_size = cache_size
         self.placement = placement
         self._base_rng = jax.random.PRNGKey(seed ^ 0x5EED)
 
-        images, ids, mask, n_caps, image_ids = self._load_host(
-            dataset, cache_size)
-        max_len = int(mask.sum(axis=-1).max())
-        seq = _static_seq_len(max_len, seq_buckets, ids.shape[-1])
-        ids = ids[..., :seq]
-        mask = mask[..., :seq]
-
-        n = images.shape[0]
+        n = len(dataset)
         if n < n_dev:
             raise ValueError(f"corpus of {n} items cannot shard over "
                              f"{n_dev} devices")
         # Seed-keyed corpus permutation: device shards become exchangeable
         # random subsets (per-device sampling then approximates global
-        # uniform sampling), independent of storage order.
+        # uniform sampling), independent of storage order.  Computed
+        # identically on EVERY host (pure function of seed and n).
         perm = np.random.default_rng(seed).permutation(n)
         # Balanced partition: device d holds base+(d<rem) items (always
         # >= 1 since n >= n_dev), each shard wrap-padded to a uniform m
@@ -145,6 +143,46 @@ class DeviceDataCache:
             block = perm[start:start + valid[d]]
             start += valid[d]
             take[d * m:(d + 1) * m] = np.resize(block, m)
+
+        # This process decodes only the rows its addressable devices
+        # hold (every row, in the single-host case); multi-host work and
+        # host RAM scale as corpus / n_hosts.
+        proc = jax.process_index()
+        local_ds = [d for d, dev in enumerate(mesh.devices.flat)
+                    if dev.process_index == proc]
+        if placement == "sharded":
+            needed = np.unique(np.concatenate(
+                [take[d * m:(d + 1) * m] for d in local_ds]))
+        else:
+            needed = np.arange(n)  # replicated: every device holds it all
+        images, ids_list, mask_list, n_caps, image_ids = self._load_host(
+            dataset, cache_size, needed)
+
+        # Corpus-global pad shapes.  Local maxima cover the whole corpus
+        # only on one host; on pods the hosts agree via an allgather so
+        # every process builds the same global array shapes.
+        max_len = max(int(mm.sum(axis=-1).max()) for mm in mask_list)
+        c_max = max(ii.shape[0] for ii in ids_list)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            g = multihost_utils.process_allgather(
+                np.array([max_len, c_max], np.int32))
+            max_len, c_max = int(g[..., 0].max()), int(g[..., 1].max())
+        s_tok = ids_list[0].shape[1]
+        seq = min(_static_seq_len(max_len, seq_buckets, s_tok), s_tok)
+        ids = np.zeros((len(needed), c_max, seq), np.int32)
+        mask = np.zeros((len(needed), c_max, seq), np.int32)
+        for i, (ii, mm) in enumerate(zip(ids_list, mask_list)):
+            # Caption-axis padding stays zero; a uniform randint over
+            # [0, n_caps[i]) never reads it.
+            ids[i, :ii.shape[0]] = ii[:, :seq]
+            mask[i, :mm.shape[0]] = mm[:, :seq]
+
+        # Dataset row -> position in this process's decoded arrays.
+        pos = np.full(n, -1, np.int64)
+        pos[needed] = np.arange(len(needed))
+        flat_devs = list(mesh.devices.flat)
         if placement == "sharded":
             # Per-device assembly: gather + ship one shard's rows at a
             # time, so peak extra host RAM is corpus/n_dev — a full
@@ -155,38 +193,54 @@ class DeviceDataCache:
                 sharding = NamedSharding(mesh, spec)
                 shards = [
                     jax.device_put(np.ascontiguousarray(
-                        a[take[d * m:(d + 1) * m]]), dev)
-                    for d, dev in enumerate(mesh.devices.flat)]
+                        a[pos[take[d * m:(d + 1) * m]]]), flat_devs[d])
+                    for d in local_ds]
                 return jax.make_array_from_single_device_arrays(
                     (m * n_dev,) + a.shape[1:], sharding, shards)
-        else:
+        elif jax.process_count() == 1:
             def put(a, spec=P()):
                 return jax.device_put(a[take], NamedSharding(mesh, spec))
+        else:
+            def put(a, spec=P()):
+                full = np.ascontiguousarray(a[take])
+                shards = [jax.device_put(full, flat_devs[d])
+                          for d in local_ds]
+                return jax.make_array_from_single_device_arrays(
+                    (m * n_dev,) + a.shape[1:],
+                    NamedSharding(mesh, spec), shards)
         self._images = put(images)
         self._ids = put(ids)
         self._mask = put(mask)
         self._n_caps = put(n_caps)
         self._image_ids = put(image_ids)
         if placement == "sharded":
-            shards = [jax.device_put(valid[d:d + 1], dev)
-                      for d, dev in enumerate(mesh.devices.flat)]
+            shards = [jax.device_put(valid[d:d + 1], flat_devs[d])
+                      for d in local_ds]
             self._valid = jax.make_array_from_single_device_arrays(
                 (n_dev,), NamedSharding(mesh, P(data_axis)), shards)
-        else:
+        elif jax.process_count() == 1:
             self._valid = jax.device_put(valid, NamedSharding(mesh, P()))
+        else:
+            shards = [jax.device_put(valid, flat_devs[d]) for d in local_ds]
+            self._valid = jax.make_array_from_single_device_arrays(
+                (n_dev,), NamedSharding(mesh, P()), shards)
         self._n = n
+        self._n_dev = n_dev
         self._sample = self._make_sampler(mesh, n_dev, data_axis)
         self._step = 0
 
     # -- host pass ---------------------------------------------------
 
     @staticmethod
-    def _load_host(dataset, cache_size: int):
-        """Decode every image to (cache, cache, 3) u8 and tokenize every
-        caption.  Uses the fused native decode when built."""
+    def _load_host(dataset, cache_size: int, rows: np.ndarray):
+        """Decode the given dataset rows to (cache, cache, 3) u8 tiles and
+        tokenize their captions.  Uses the fused native decode when built.
+        Returns per-item UNPADDED token stacks — the caller pads to the
+        corpus-global (caption count, token length) shapes, which on pods
+        are only known after a cross-process reduction."""
         from clip_lite_tpu.data import native
 
-        n = len(dataset)
+        n = len(rows)
         reader = dataset.reader
         use_native = getattr(dataset, "native_pipeline", False)
 
@@ -197,7 +251,7 @@ class DeviceDataCache:
 
         chunk = 256
         for lo in range(0, n, chunk):
-            idxs = range(lo, min(lo + chunk, n))
+            idxs = [int(r) for r in rows[lo:min(lo + chunk, n)]]
             if use_native:
                 recs = [dataset.native_reader[int(reader._indices[i])]
                         for i in idxs]
@@ -232,17 +286,7 @@ class DeviceDataCache:
                 ids_per_item.append(np.stack(item_ids))
                 mask_per_item.append(np.stack(item_mask))
                 n_caps[lo + j] = len(caps)
-
-        c_max = max(x.shape[0] for x in ids_per_item)
-        s = ids_per_item[0].shape[1]
-        ids = np.zeros((n, c_max, s), np.int32)
-        mask = np.zeros((n, c_max, s), np.int32)
-        for i, (ii, mm) in enumerate(zip(ids_per_item, mask_per_item)):
-            # Pad the caption axis by repeating caption 0 so a uniform
-            # randint over [0, n_caps[i]) never reads padding anyway.
-            ids[i, :ii.shape[0]] = ii
-            mask[i, :mm.shape[0]] = mm
-        return images, ids, mask, n_caps, image_ids
+        return images, ids_per_item, mask_per_item, n_caps, image_ids
 
     # -- device sampler ----------------------------------------------
 
@@ -335,10 +379,11 @@ class DeviceDataCache:
                 4 * self._n_caps.size)
 
     def memory_bytes_per_device(self) -> int:
-        """HBM per chip: total/n_dev when sharded, total when replicated."""
-        shards = {s.device for s in self._images.addressable_shards}
+        """HBM per chip: total/n_dev when sharded, total when replicated
+        (n_dev is the GLOBAL mesh extent — addressable shards would
+        undercount the divisor on pods)."""
         if self.placement == "sharded":
-            return self.memory_bytes() // max(1, len(shards))
+            return self.memory_bytes() // max(1, self._n_dev)
         return self.memory_bytes()
 
 
