@@ -95,7 +95,10 @@ def build_fused_optimizer(config, schedule_fn=None,
             trace=zeros,
             nu=(jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
                 if adam else {}),
-            slow_params=(jax.tree.map(jnp.asarray, params) if la_use else {}),
+            # jnp.copy, NOT asarray: asarray is identity on device arrays,
+            # and an init-time alias of the param buffers gets DELETED by
+            # the first donated train step ("Array has been deleted").
+            slow_params=(jax.tree.map(jnp.copy, params) if la_use else {}),
             count=jnp.zeros([], jnp.int32),
             la_count=jnp.zeros([], jnp.int32),
         )
@@ -208,14 +211,15 @@ def build_fused_optimizer(config, schedule_fn=None,
                           hoisted=bool(la_use and hoist_lookahead))
 
 
-def build_lookahead_sync(config) -> Callable:
+def build_lookahead_sync(config, donate: bool = False) -> Callable:
     """Compiled Lookahead sync for the hoisted mode: (params, slow) ->
     (new_params, new_slow).  Exactly the in-step ``_sync`` math; the
     training loop calls it when ``iteration % OPTIM.LOOKAHEAD.STEPS == 0``
-    (the same cadence the in-step counter produces)."""
+    (the same cadence the in-step counter produces).  ``donate=True``
+    (backends where parallel.mesh.donation_supported) updates in place —
+    the caller must rebind both trees, which the loop does anyway."""
     la_alpha = config.OPTIM.LOOKAHEAD.ALPHA
 
-    @jax.jit
     def sync(params, slow):
         synced = jax.tree.map(
             lambda f, s: (s + la_alpha *
@@ -223,4 +227,4 @@ def build_lookahead_sync(config) -> Callable:
             params, slow)
         return synced, synced
 
-    return sync
+    return jax.jit(sync, donate_argnums=(0, 1) if donate else ())

@@ -33,7 +33,9 @@ def lookahead(inner: optax.GradientTransformation, k: int = 5,
     def init_fn(params):
         return LookaheadState(
             inner_state=inner.init(params),
-            slow_params=jax.tree.map(jnp.asarray, params),
+            # Copy, not alias: donated train steps delete their input
+            # param buffers, and an aliased slow tree would die with them.
+            slow_params=jax.tree.map(jnp.copy, params),
             step_count=jnp.zeros([], jnp.int32),
         )
 

@@ -16,23 +16,51 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_TUNNEL_DONATION: Optional[bool] = None
+
+
 def donation_supported(mesh: Mesh) -> bool:
     """Whether jit buffer donation is safe on this backend.
 
-    Broken in two environments we must run in:
-      * CPU: donated-buffer reuse deadlocks XLA's in-process collectives;
-      * axon-tunneled TPUs (which report platform=="tpu"!): execution of
-        donated programs fails with INVALID_ARGUMENT.  The tunnel is only
-        detectable via its environment variables.
+    Broken on CPU: donated-buffer reuse deadlocks XLA's in-process
+    collectives.  On axon-tunneled TPUs (which report platform=="tpu"!;
+    the tunnel is only detectable via its environment variables) donated
+    programs USED to fail execution with INVALID_ARGUMENT — as of
+    round 5 the tunnel executes them, so instead of hard-gating we PROBE
+    once per process with a tiny donated program and cache the answer.
+    Donation is worth ~4.5 ms/step of prefetch-copy tax on the flagship
+    (docs/PERF_NOTES.md), so the probe's one-off compile is cheap.
+    ``CLIP_LITE_NO_DONATION=1`` force-disables (escape hatch).
     """
     import os
 
     if mesh.devices.flat[0].platform != "tpu":
         return False
+    if os.environ.get("CLIP_LITE_NO_DONATION"):
+        return False
     if os.environ.get("JAX_PLATFORMS") == "axon" or \
             os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
-        return False
+        return _tunnel_donation_works()
     return True
+
+
+def _tunnel_donation_works() -> bool:
+    """One-shot probe: execute a tiny donated program on the tunneled
+    backend.  Failures historically surfaced at EXECUTION time
+    (INVALID_ARGUMENT), so the probe must run the program, not just
+    compile it."""
+    global _TUNNEL_DONATION
+    if _TUNNEL_DONATION is None:
+        import jax.numpy as jnp
+
+        try:
+            f = jax.jit(lambda x: x + 1.0, donate_argnums=(0,))
+            x = jnp.zeros((128,), jnp.float32)
+            x = f(f(x))  # steady-state reuse, not just first call
+            _TUNNEL_DONATION = bool(float(x[0]) == 2.0)
+        except Exception:
+            _TUNNEL_DONATION = False
+    return _TUNNEL_DONATION
 
 
 def create_mesh(

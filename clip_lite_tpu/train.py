@@ -143,8 +143,9 @@ def main(_A) -> None:
     tx = OptimizerFactory.from_config(_C, hoist_lookahead=hoist_la)
     if hoist_la:
         from clip_lite_tpu.optim.fused import build_lookahead_sync
+        from clip_lite_tpu.parallel.mesh import donation_supported
 
-        la_sync = build_lookahead_sync(_C)
+        la_sync = build_lookahead_sync(_C, donate=donation_supported(mesh))
         logger.info("Lookahead sync hoisted out of the step program "
                     "(separate call every %d iterations)", la_cfg.STEPS)
 

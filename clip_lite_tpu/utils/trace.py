@@ -142,9 +142,22 @@ def roofline_summary(ops: List[Dict], n_steps: int,
     flops_us = sum(o["flops"] / (peak_tflops * 1e6) for o in ops)
     bytes_us = sum(min(o["bytes"] / (hbm_gbps * 1e3), o["dur_us"])
                    for o in ops)
-    bound_us = sum(max(o["flops"] / (peak_tflops * 1e6),
-                       min(o["bytes"] / (hbm_gbps * 1e3), o["dur_us"]))
-                   for o in ops)
+    # Ops with NO cost model at all (hand-written Mosaic/Pallas kernels
+    # and other custom calls report neither flops nor bytes) would claim
+    # a floor of ZERO — i.e. the roofline would assert they could run in
+    # no time, which no kernel can.  They are priced at their measured
+    # duration instead (assumed at floor), and their total is reported
+    # as ``opaque_ms`` so the share of the roofline that rests on that
+    # assumption is visible and auditable.
+    opaque_us = 0.0
+    bound_us = 0.0
+    for o in ops:
+        if o["flops"] == 0.0 and o["bytes"] == 0.0:
+            opaque_us += o["dur_us"]
+            bound_us += o["dur_us"]
+        else:
+            bound_us += max(o["flops"] / (peak_tflops * 1e6),
+                            min(o["bytes"] / (hbm_gbps * 1e3), o["dur_us"]))
 
     by_cat = defaultdict(lambda: {"ms": 0.0, "gbytes": 0.0, "n": 0})
     by_comp = defaultdict(lambda: {"ms": 0.0, "gbytes": 0.0, "n": 0})
@@ -166,6 +179,7 @@ def roofline_summary(ops: List[Dict], n_steps: int,
         "flops_roofline_ms": round(flops_us / 1e3 / n_steps, 3),
         "bytes_roofline_ms": round(bytes_us / 1e3 / n_steps, 3),
         "per_op_roofline_ms": round(bound_us / 1e3 / n_steps, 3),
+        "opaque_ms": round(opaque_us / 1e3 / n_steps, 3),
         "total_gbytes_per_step": round(
             sum(o["bytes"] for o in ops) / 1e9 / n_steps, 3),
         "total_gflops_per_step": round(
