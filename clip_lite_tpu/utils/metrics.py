@@ -51,13 +51,100 @@ class TopkAccuracy:
         return value
 
 
-_PUNCT = re.compile(r"[^\w\s]")
+# Tokens the reference strips after tokenizing (reference:
+# utils/metrics.py:166-171).  Quirk preserved EXACTLY: the list holds
+# UPPERCASE bracket escapes ("-LRB-", ...) while `-lowerCase` output is
+# lowercase ("-lrb-"), so bracket escapes are never actually stripped by
+# the reference either.
+_REF_PUNCTS = frozenset([
+    "''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-", ".", "?",
+    "!", ",", ":", "-", "--", "...", ";",
+])
+
+_QUOTE_MAP = {"‘": "'", "’": "'", "“": '"', "”": '"',
+              "…": "...", "–": "--", "—": "--"}
+_BRACKETS = {"(": "-lrb-", ")": "-rrb-", "[": "-lsb-", "]": "-rsb-",
+             "{": "-lcb-", "}": "-rcb-"}
+
+# Assimilated forms split by the Penn Treebank tokenizer (the classic
+# tokenizer.sed list; CoreNLP's splitAssimilations covers the same set).
+_ASSIM = {"cannot": ("can", "not"), "gonna": ("gon", "na"),
+          "gotta": ("got", "ta"), "wanna": ("wan", "na"),
+          "lemme": ("lem", "me"), "gimme": ("gim", "me"),
+          "d'ye": ("d'", "ye"), "more'n": ("more", "'n"),
+          "'tis": ("'t", "is"), "'twas": ("'t", "was")}
+
+_CONTRACTION = re.compile(r"(?<=[a-z])(n't|'ll|'re|'ve|'s|'m|'d)$")
+
+
+def ptb3_tokens(caption: str) -> List[str]:
+    """Penn-Treebank-3 tokenization of one caption, lowercased —
+    a pure-Python reimplementation of what the reference gets from
+    ``PTBTokenizer -preserveLines -lowerCase`` via the CoreNLP jar
+    (reference: utils/metrics.py:129-160): bracket escaping to
+    -lrb-/-rrb-/..., directional-quote conversion to \\`\\`/'', clitic
+    splits (n't 'll 're 've 's 'm 'd), treebank assimilation splits,
+    number-internal commas/colons kept whole (1,000 / 3:30), final
+    sentence period split off, ellipsis as one token.
+
+    Validated against a frozen golden set of CoreNLP-tokenized
+    caption-style sentences (tests/test_metrics.py) — the round-4
+    "tokenizer caveat" closure.  Known non-COCO divergences, accepted:
+    no americanization (colour -> color) and no sentence-final
+    abbreviation handling (both absent from caption text).
+    """
+    s = caption.lower().replace("\n", " ")
+    for src, dst in _QUOTE_MAP.items():
+        s = s.replace(src, dst)
+    # Directional double quotes: opening after start/space/open-bracket.
+    s = re.sub(r'(^|[ \(\[{])"', r"\1 `` ", s)
+    s = s.replace('"', " '' ")
+    for src, dst in _BRACKETS.items():
+        s = s.replace(src, f" {dst} ")
+    s = s.replace("...", " ... ")
+    # Always-separated symbols.
+    s = re.sub(r"[?!]", r" \g<0> ", s)
+    s = re.sub(r"[;@#$&]", r" \g<0> ", s)
+    s = s.replace("--", " -- ")
+    # Comma / colon separate EXCEPT between digits (1,000 / 3:30 whole).
+    s = re.sub(r"(?<!\d),|,(?!\d)", " , ", s)
+    s = re.sub(r"(?<!\d):|:(?!\d)", " : ", s)
+    s = re.sub(r"(\d)%", r"\1 % ", s)
+
+    out: List[str] = []
+    words = s.split()
+    for i, w in enumerate(words):
+        last = i == len(words) - 1
+        out.extend(_split_word(w, sentence_final=last))
+    return out
+
+
+def _split_word(w: str, sentence_final: bool) -> List[str]:
+    """Split one whitespace-delimited chunk into PTB tokens."""
+    if not w:
+        return []
+    if w in ("''", "``", "--", "...", "-") or w in _BRACKETS.values():
+        return [w]
+    if w in _ASSIM:
+        return list(_ASSIM[w])
+    # Trailing sentence period: split off unless the word carries
+    # internal periods (u.s., e.g.) or is pure periods already.
+    if w.endswith(".") and w != "." and "." not in w[:-1]:
+        return _split_word(w[:-1], False) + ["."]
+    # Possessive-after-s / bare trailing apostrophe: dogs' -> dogs '
+    if w.endswith("'") and len(w) > 1:
+        return _split_word(w[:-1], False) + ["'"]
+    m = _CONTRACTION.search(w)
+    if m and len(w) > len(m.group(1)):
+        return [w[: m.start()], m.group(1)]
+    return [w]
 
 
 def ptb_tokenize(caption: str) -> List[str]:
-    """Lowercase, strip punctuation, split — the lightweight stand-in for
-    the reference's CoreNLP PTBTokenizer subprocess."""
-    return _PUNCT.sub("", caption.lower()).split()
+    """PTB3 tokens with the reference's punctuation-token strip applied
+    (reference: utils/metrics.py:166-178) — the token stream the CIDEr
+    n-grams are computed over."""
+    return [t for t in ptb3_tokens(caption) if t not in _REF_PUNCTS]
 
 
 def _ngrams(tokens: Sequence[str], n: int) -> Counter:
@@ -184,20 +271,19 @@ class CocoCaptionsEvaluator:
     """Caption evaluation harness (reference: utils/metrics.py:76-126).
 
     Returns ``{"CIDEr": float, "SPICE": float | None, "tokenizer":
-    "builtin-ptb-approx"}`` — the reference contract computes both
-    scores; SPICE needs the Java toolchain (:func:`spice_available`),
-    and when it is absent the key is reported as ``None``
-    (machine-readable "not computed") rather than dropped, so downstream
-    result parsing keeps working either way.
+    "ptb3"}`` — the reference contract computes both scores; SPICE needs
+    the Java toolchain (:func:`spice_available`), and when it is absent
+    the key is reported as ``None`` (machine-readable "not computed")
+    rather than dropped, so downstream result parsing keeps working
+    either way.
 
-    CAVEAT, flagged to callers via the ``"tokenizer"`` key: candidate and
-    reference captions are tokenized with :func:`ptb_tokenize`, a
-    lightweight approximation of the Stanford CoreNLP PTBTokenizer the
-    reference shells out to (reference: utils/metrics.py:129-178).  The
-    two tokenizers differ on contractions, hyphenation and punctuation
-    edge cases, so scores are NOT decimal-comparable to published
-    CoreNLP-tokenized numbers — compare only scores produced by the same
-    evaluator.
+    Captions are tokenized with :func:`ptb_tokenize` — a pure-Python
+    PTB3 tokenizer matching the CoreNLP ``PTBTokenizer -preserveLines
+    -lowerCase`` subprocess the reference shells out to, including its
+    punctuation-strip protocol and its bracket-escape case quirk
+    (reference: utils/metrics.py:129-178), pinned by a frozen golden set
+    in tests/test_metrics.py.  Scores are protocol-comparable to
+    reference-produced CIDEr numbers.
     """
 
     def __init__(self, ground_truth: Dict[str, List[str]],
@@ -212,5 +298,4 @@ class CocoCaptionsEvaluator:
         cider = CiderScorer().compute_score(gt, predictions)
         spice = (100.0 * spice_score(predictions, gt, self.spice_jar)
                  if spice_available(self.spice_jar) else None)
-        return {"CIDEr": cider, "SPICE": spice,
-                "tokenizer": "builtin-ptb-approx"}
+        return {"CIDEr": cider, "SPICE": spice, "tokenizer": "ptb3"}

@@ -310,9 +310,9 @@ def test_cider_perfect_match_beats_mismatch():
     from clip_lite_tpu.utils.metrics import spice_available
     if not spice_available():
         assert good["SPICE"] is None
-    # The tokenizer caveat is flagged to callers (scores are not
-    # decimal-comparable to CoreNLP-tokenized published numbers).
-    assert good["tokenizer"] == "builtin-ptb-approx"
+    # Tokenizer identity is reported (PTB3 parity pinned by the golden
+    # set in tests/test_metrics.py).
+    assert good["tokenizer"] == "ptb3"
 
 
 def test_spice_gating(monkeypatch, tmp_path):
