@@ -203,15 +203,29 @@ def _measure(per_chip_batch: int, steps_per_call: int = 1,
         # is async, so a backpressured/stalled call surfaces as ONE long
         # wall sample rather than a uniform slowdown — the distribution
         # tells tunnel hiccup (one spike) from cold program (every call).
-        last_walls.clear()
-        t0 = time.perf_counter()
-        for _ in range(n_calls):
-            t1 = time.perf_counter()
-            m = one_step()
-            last_walls.append(time.perf_counter() - t1)
-        _ = float(m["total_loss"])  # sync: depends on the whole chain
-        return batch_size * steps_per_call * n_calls / (
-            time.perf_counter() - t0) / n_chips
+        #
+        # GC is frozen + disabled for the loop: a cyclic collection of
+        # the warmup's tracing garbage (jaxprs hold cycles) can cost tens
+        # of ms mid-loop — one of the stall candidates behind the r4
+        # remeasure.  Collect once up front so the pause happens HERE.
+        import gc
+
+        gc.collect()
+        gc.freeze()
+        gc.disable()
+        try:
+            last_walls.clear()
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                t1 = time.perf_counter()
+                m = one_step()
+                last_walls.append(time.perf_counter() - t1)
+            _ = float(m["total_loss"])  # sync: depends on the whole chain
+            return batch_size * steps_per_call * n_calls / (
+                time.perf_counter() - t0) / n_chips
+        finally:
+            gc.enable()
+            gc.unfreeze()
 
     n_calls = max(3, 20 // steps_per_call)
     _progress("warm; timing")

@@ -105,7 +105,8 @@ class DeviceDataCache:
     def __init__(self, dataset, mesh: Mesh, batch_size: int,
                  data_axis: str = "data", cache_size: int = 256,
                  crop_size: int = 224, seq_buckets=None,
-                 seed: int = 0, placement: str = "sharded"):
+                 seed: int = 0, placement: str = "sharded",
+                 ssl_aug: bool = False):
         if cache_size < crop_size:
             raise ValueError(
                 f"cache_size {cache_size} < crop_size {crop_size}")
@@ -119,6 +120,7 @@ class DeviceDataCache:
         self.crop_size = crop_size
         self.cache_size = cache_size
         self.placement = placement
+        self.ssl_aug = bool(ssl_aug)
         self._base_rng = jax.random.PRNGKey(seed ^ 0x5EED)
 
         n = len(dataset)
@@ -298,27 +300,40 @@ class DeviceDataCache:
         crop = self.crop_size
         span = self.cache_size - crop + 1
         m = self._shard_rows
+        ssl_aug = self.ssl_aug
 
         def core(images, ids, mask, n_caps, image_ids, valid_d, dev, rng):
             r = jax.random.fold_in(rng, dev)
-            k_idx, k_cap, k_crop = jax.random.split(r, 3)
+            k_idx, k_cap, k_crop, k_aug = jax.random.split(r, 4)
             idx = jax.random.randint(k_idx, (b_local,), 0, valid_d)
             imgs = jnp.take(images, idx, axis=0)
-            off = jax.random.randint(k_crop, (b_local, 2), 0, span)
 
             def crop_one(im, o):
                 return lax.dynamic_slice(im, (o[0], o[1], 0),
                                          (crop, crop, 3))
 
-            imgs = jax.vmap(crop_one)(imgs, off)
+            def crop_all(key):
+                off = jax.random.randint(key, (b_local, 2), 0, span)
+                return jax.vmap(crop_one)(imgs, off)
+
             cap = jax.random.randint(k_cap, (b_local,), 0,
                                      jnp.take(n_caps, idx, axis=0))
             r_local = jnp.arange(b_local)
             bids = jnp.take(ids, idx, axis=0)[r_local, cap]
             bmask = jnp.take(mask, idx, axis=0)[r_local, cap]
-            return {"image": imgs, "input_ids": bids,
-                    "attention_mask": bmask,
-                    "image_id": jnp.take(image_ids, idx, axis=0)}
+            out = {"image": crop_all(k_crop), "input_ids": bids,
+                   "attention_mask": bmask,
+                   "image_id": jnp.take(image_ids, idx, axis=0)}
+            if ssl_aug:
+                # Visual SSL second view (reference loss.py:256-300 trains
+                # image vs augmented-image pairs): an INDEPENDENT random
+                # crop of the same cached tile.  The compiled train step
+                # then applies independent flip + color jitter per key
+                # (engine._maybe_device_preprocess splits the rng for each
+                # image key), so the two views diverge exactly like the
+                # host path's two transform draws — at zero host cost.
+                out["aug_image"] = crop_all(k_aug)
+            return out
 
         if n_dev == 1:
             # Plain jit: shard_map's sharded dispatch is pathologically

@@ -169,6 +169,10 @@ def main(_A) -> None:
     if use_device_cache and (use_clusters or steps_per_call > 1):
         raise ValueError("DATA.DEVICE_CACHE is incompatible with cluster "
                          "negative sampling and STEPS_PER_CALL > 1")
+    if use_device_cache and _C.MODEL.TEXTUAL.SELF_SUPERVISED:
+        raise ValueError("DATA.DEVICE_CACHE has no augmented-caption "
+                         "stream (visual SSL is supported on-device; "
+                         "textual SSL needs the host loader)")
 
     # Decide the curriculum phase BEFORE building any loader: resume peeks
     # only the stored iteration (reference: train.py:151-163 decides the
@@ -192,7 +196,8 @@ def main(_A) -> None:
             _C.PARALLEL.DATA_AXIS, cache_size=_C.DATA.CACHE_IMAGE_SIZE,
             crop_size=_C.DATA.IMAGE_CROP_SIZE,
             seq_buckets=_C.DATA.SEQ_BUCKETS, seed=_C.RANDOM_SEED,
-            placement=_C.DATA.CACHE_PLACEMENT)
+            placement=_C.DATA.CACHE_PLACEMENT,
+            ssl_aug=_C.MODEL.VISUAL.SELF_SUPERVISED)
         cache.set_start(start_iteration)
         batches = iter(cache)
         logger.info("Device-resident dataset cache (%s): %d items, "

@@ -194,3 +194,71 @@ def test_train_step_runs_from_cache(corpus):
     step = compile_train_step(model, tx, mesh, donate=False)
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_ssl_aug_second_view(corpus):
+    """ssl_aug=True adds an independent second random crop of the SAME
+    sampled item (the visual-SSL pair, reference loss.py:256-300), pure
+    in (seed, step) like every other cache output."""
+    cfg = Config(override_list=[
+        "MODEL.NAME", "captions", "DATA.NAME", "train_sbert",
+        "DATA.ROOT", corpus, "MODEL.TEXTUAL.VOCAB_SIZE", 30522,
+    ])
+    ds = PretrainingDatasetFactory.from_config(cfg, split="train")
+    mesh = create_mesh(num_devices=8)
+    cache = DeviceDataCache(ds, mesh, batch_size=8, cache_size=64,
+                            crop_size=48, seq_buckets=[12, 20], seed=3,
+                            ssl_aug=True)
+    b = cache.batch_at(0)
+    assert b["aug_image"].shape == b["image"].shape
+    assert b["aug_image"].dtype == np.uint8
+    # Same source item: solid-color tiles mean both views share the mean
+    # color signature of their image_id (same provenance check as
+    # test_crops_come_from_their_source_image).
+    img = np.asarray(b["image"]).astype(np.float32)
+    aug = np.asarray(b["aug_image"]).astype(np.float32)
+    assert np.abs(img.mean(axis=(1, 2)) - aug.mean(axis=(1, 2))).max() < 8.0
+    # Independent crops: with a 17-pixel offset span the probability all 8
+    # rows draw identical offsets is ~(1/289)^8 — the views must differ.
+    assert np.abs(img - aug).max() > 0
+    # Pure in (seed, step).
+    b2 = cache.batch_at(0)
+    np.testing.assert_array_equal(np.asarray(b["aug_image"]),
+                                  np.asarray(b2["aug_image"]))
+
+
+def test_ssl_aug_train_step(corpus):
+    """End-to-end: the SSL batch drives a step with
+    MODEL.VISUAL.SELF_SUPERVISED on (aug tower + SSL loss term live)."""
+    import jax
+
+    from clip_lite_tpu.engine import compile_train_step, create_train_state
+    from clip_lite_tpu.factories import (
+        OptimizerFactory,
+        PretrainingModelFactory,
+    )
+
+    cfg = Config(override_list=[
+        "MODEL.NAME", "captions", "DATA.NAME", "train_sbert",
+        "DATA.ROOT", corpus,
+        "MODEL.VISUAL.NETWORK_NAME", "resnet18",
+        "MODEL.VISUAL.FEATURE_SIZE", 512,
+        "MODEL.VISUAL.SELF_SUPERVISED", True,
+        "MODEL.TEXTUAL.NUM_HIDDEN_LAYERS", 2,
+        "DATA.IMAGE_CROP_SIZE", 48,
+        "OPTIM.BATCH_SIZE", 8,
+    ])
+    ds = PretrainingDatasetFactory.from_config(cfg, split="train")
+    mesh = create_mesh(num_devices=8)
+    cache = DeviceDataCache(ds, mesh, batch_size=8, cache_size=64,
+                            crop_size=48, seed=0, ssl_aug=True)
+    model = PretrainingModelFactory.from_config(cfg)
+    tx = OptimizerFactory.from_config(cfg)
+    batch = cache.batch_at(0)
+    state = create_train_state(model, tx, batch)
+    step = compile_train_step(model, tx, mesh, donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+    # The SSL term is live: visual_loss is the aug-pair JSD component
+    # (ops/loss.py) and must be nonzero when the aug tower runs.
+    assert float(np.abs(metrics["visual_loss"])) > 0
