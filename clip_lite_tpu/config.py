@@ -277,6 +277,11 @@ class Config:
         # v5e-8); "replicated" keeps a full copy per device.  Batches are
         # bit-identical either way (device_cache.py module docstring).
         _C.DATA.CACHE_PLACEMENT = "sharded"
+        # Directory memoizing the cache's host decode+tokenize pass (a
+        # pure function of the corpus files and CACHE_IMAGE_SIZE): the
+        # first run writes it, later runs over the same corpus mmap it —
+        # minutes saved per run on low-core hosts.  Empty = off.
+        _C.DATA.CACHE_HOST_DIR = ""
 
         # -----------------------------------------------------------------
         #   Model architecture: visual backbone and textual head.

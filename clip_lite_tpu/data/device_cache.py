@@ -106,7 +106,7 @@ class DeviceDataCache:
                  data_axis: str = "data", cache_size: int = 256,
                  crop_size: int = 224, seq_buckets=None,
                  seed: int = 0, placement: str = "sharded",
-                 ssl_aug: bool = False):
+                 ssl_aug: bool = False, host_cache_dir: str = ""):
         if cache_size < crop_size:
             raise ValueError(
                 f"cache_size {cache_size} < crop_size {crop_size}")
@@ -157,8 +157,9 @@ class DeviceDataCache:
                 [take[d * m:(d + 1) * m] for d in local_ds]))
         else:
             needed = np.arange(n)  # replicated: every device holds it all
-        images, ids_list, mask_list, n_caps, image_ids = self._load_host(
-            dataset, cache_size, needed)
+        images, ids_list, mask_list, n_caps, image_ids = \
+            self._load_host_cached(dataset, cache_size, needed,
+                                   host_cache_dir)
 
         # Corpus-global pad shapes.  Local maxima cover the whole corpus
         # only on one host; on pods the hosts agree via an allgather so
@@ -232,6 +233,52 @@ class DeviceDataCache:
         self._step = 0
 
     # -- host pass ---------------------------------------------------
+
+    @staticmethod
+    def _load_host_cached(dataset, cache_size: int, rows: np.ndarray,
+                          host_cache_dir: str):
+        """Memoized ``_load_host``: the decode+tokenize pass over a
+        corpus is identical across runs (it is a pure function of the
+        dataset files, ``cache_size`` and the row set), and on a 1-core
+        host it costs minutes per training run.  With ``host_cache_dir``
+        set the result is persisted once — images as an .npy (mmap-read
+        by later runs, so the host never holds a second copy) plus a
+        pickle of the token stacks — and reused by every subsequent run
+        over the same corpus (multi-seed campaigns, resumes)."""
+        if not host_cache_dir:
+            return DeviceDataCache._load_host(dataset, cache_size, rows)
+        import hashlib
+        import os
+        import pickle
+
+        root = getattr(getattr(dataset, "reader", None), "path", "") or \
+            getattr(dataset, "root", "")
+        try:
+            stamp = os.path.getmtime(root) if root else 0.0
+        except OSError:
+            stamp = 0.0
+        key = hashlib.sha1(
+            repr((root, stamp, cache_size, len(dataset),
+                  rows.tobytes())).encode()).hexdigest()[:16]
+        os.makedirs(host_cache_dir, exist_ok=True)
+        img_path = os.path.join(host_cache_dir, f"corpus_{key}_images.npy")
+        meta_path = os.path.join(host_cache_dir, f"corpus_{key}_meta.pkl")
+        if os.path.exists(img_path) and os.path.exists(meta_path):
+            images = np.load(img_path, mmap_mode="r")
+            with open(meta_path, "rb") as f:
+                meta = pickle.load(f)
+            return (images, meta["ids"], meta["mask"], meta["n_caps"],
+                    meta["image_ids"])
+        out = DeviceDataCache._load_host(dataset, cache_size, rows)
+        images, ids_list, mask_list, n_caps, image_ids = out
+        tmp = img_path + ".tmp.npy"
+        np.save(tmp, images)
+        os.replace(tmp, img_path)
+        with open(meta_path + ".tmp", "wb") as f:
+            pickle.dump({"ids": ids_list, "mask": mask_list,
+                         "n_caps": n_caps, "image_ids": image_ids}, f)
+        os.replace(meta_path + ".tmp", meta_path)
+        return out
 
     @staticmethod
     def _load_host(dataset, cache_size: int, rows: np.ndarray):

@@ -47,6 +47,13 @@ parser.add_argument("--retrieval-checkpoints", type=int, default=4,
 parser.add_argument("--families", default="sweep,probe,voc,bias",
                     help="Comma list of eval families to run "
                          "(sweep=retrieval+zero_shot over checkpoints).")
+parser.add_argument("--sweep-platform", default=None,
+                    help="Run the retrieval/zero-shot sweep CLIs on this "
+                         "jax platform (e.g. 'cpu': ~2 TFLOP of RN50 "
+                         "inference per call — minutes on a host core, "
+                         "and it frees the TPU for the next training "
+                         "run).  Heavy families (probe/voc) keep the "
+                         "default device.")
 
 # The synthetic analog of the reference's gender direction: the protected
 # attribute in make_synth_data's coco_gender split is shape COLOR
@@ -133,18 +140,20 @@ def main(_A) -> dict:
                     val_losses[str(rec["iteration"])] = rec["total_loss"]
         out["val_loss"] = val_losses
 
+    sweep_plat = (["--platform", _A.sweep_platform]
+                  if _A.sweep_platform else [])
     if "sweep" in families:
         for ckpt in sweep:
             step = step_of(ckpt)
             entry = out["checkpoints"].setdefault(str(step), {})
             entry["retrieval"] = attempt("retrieval", lambda: run_cli(
-                "retrieval", [
+                "retrieval", sweep_plat + [
                     "--config-override", "DATA.ROOT", f"{synth}/coco",
                     "--pretrain-config", pre_cfg, "--checkpoint-path", ckpt,
                     "--serialization-dir", work,
                 ], f"{work}/retrieval_{step}.log"))
             entry["zero_shot"] = attempt("zero_shot", lambda: run_cli(
-                "zero_shot", [
+                "zero_shot", sweep_plat + [
                     "--config-override", "DATA.ROOT", f"{synth}/imagenet",
                     "--pretrain-config", pre_cfg, "--checkpoint-path", ckpt,
                     "--serialization-dir", work,

@@ -197,7 +197,8 @@ def main(_A) -> None:
             crop_size=_C.DATA.IMAGE_CROP_SIZE,
             seq_buckets=_C.DATA.SEQ_BUCKETS, seed=_C.RANDOM_SEED,
             placement=_C.DATA.CACHE_PLACEMENT,
-            ssl_aug=_C.MODEL.VISUAL.SELF_SUPERVISED)
+            ssl_aug=_C.MODEL.VISUAL.SELF_SUPERVISED,
+            host_cache_dir=_C.DATA.CACHE_HOST_DIR)
         cache.set_start(start_iteration)
         batches = iter(cache)
         logger.info("Device-resident dataset cache (%s): %d items, "

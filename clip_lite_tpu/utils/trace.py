@@ -203,8 +203,18 @@ def trace_step_roofline(step_fn: Callable[[], None], n_steps: int,
     try:
         path = capture_trace(step_fn, outdir)
         ops = parse_trace_ops(path)
-    except Exception:
+    except Exception as e:
+        import sys
+
+        # Visible failure: a silently-absent trace also silently drops
+        # the benchmark's roofline fields AND its wall-vs-device
+        # self-check (bench.py) — say why instead.
+        print(f"trace capture failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
         return None
     if not ops:
+        print("trace parsed but contained no device ops "
+              f"(profiler plugin produced an empty capture at {path})",
+              file=__import__("sys").stderr, flush=True)
         return None
     return roofline_summary(ops, n_steps, peak, bw)

@@ -262,3 +262,35 @@ def test_ssl_aug_train_step(corpus):
     # The SSL term is live: visual_loss is the aug-pair JSD component
     # (ops/loss.py) and must be nonzero when the aug tower runs.
     assert float(np.abs(metrics["visual_loss"])) > 0
+
+
+def test_host_decode_cache_identical(corpus, tmp_path):
+    """host_cache_dir memoizes the decode+tokenize pass; cached and
+    uncached builds must produce bit-identical batches."""
+    cfg = Config(override_list=[
+        "MODEL.NAME", "captions", "DATA.NAME", "train_sbert",
+        "DATA.ROOT", corpus, "MODEL.TEXTUAL.VOCAB_SIZE", 30522,
+    ])
+    mesh = create_mesh(num_devices=8)
+
+    def make(hc):
+        ds = PretrainingDatasetFactory.from_config(cfg, split="train")
+        return DeviceDataCache(ds, mesh, batch_size=8, cache_size=64,
+                               crop_size=48, seq_buckets=[12, 20], seed=3,
+                               host_cache_dir=hc)
+
+    import os
+
+    hc = str(tmp_path / "host_cache")
+    cold = make(hc)
+    files = sorted(os.listdir(hc))
+    assert any(f.endswith("_images.npy") for f in files)
+    warm = make(hc)          # second build reads the memoized pass
+    plain = make("")         # no cache at all
+    for step in (0, 9):
+        ref = plain.batch_at(step)
+        for other in (cold, warm):
+            got = other.batch_at(step)
+            for k in ref:
+                np.testing.assert_array_equal(np.asarray(ref[k]),
+                                              np.asarray(got[k]))
