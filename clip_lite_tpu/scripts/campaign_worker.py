@@ -90,8 +90,20 @@ def train_args(extra_overrides, serialization_dir, resume=None):
 
 
 def run_train(overrides, outdir, resume=None):
+    import glob
+
     from clip_lite_tpu import train
 
+    if resume is None:
+        # Crash/wedge recovery: resume from the newest checkpoint this
+        # stage already wrote (the tunnel occasionally loses an RPC
+        # mid-run; the worker is restartable, and resume replays the
+        # exact batch stream by construction).
+        ckpts = glob.glob(os.path.join(outdir, "*", "checkpoint_[0-9]*.msgpack"))
+        if ckpts:
+            resume = max(ckpts, key=lambda p: int(
+                p.rsplit("_", 1)[1].split(".")[0]))
+            log(f"resuming {outdir} from {os.path.basename(resume)}")
     train.main(train_args(overrides, outdir, resume))
 
 

@@ -32,12 +32,35 @@ fi
 log "data ready"
 
 # ---- 2. the TPU worker (single process, all training stages) --------------
+# Supervised: the tunnel intermittently loses a GB-scale transfer RPC,
+# leaving the client blocked forever (observed twice this campaign).
+# The supervisor kills the worker when its log goes stale for >13 min
+# (steady training logs every ~30 s; init/compile/checkpoint quiet
+# phases stay under ~10 min) and relaunches it — every stage resumes
+# from its marker, and trainings resume from their newest checkpoint.
 if [ ! -f "$OUT/worker_started" ]; then
   touch "$OUT/worker_started"
-  ( timeout 21000 python -m clip_lite_tpu.scripts.campaign_worker \
-      >> "$OUT/worker.log" 2>&1; echo $? > "$OUT/worker_rc" ) &
-  WORKER_PID=$!
-  log "worker launched pid=$WORKER_PID"
+  ( for attempt in 1 2 3 4 5 6 7 8; do
+      log "worker attempt $attempt"
+      timeout 21000 python -m clip_lite_tpu.scripts.campaign_worker \
+          >> "$OUT/worker.log" 2>&1 &
+      WPID=$!
+      while kill -0 $WPID 2>/dev/null; do
+        sleep 60
+        stale=$(( $(date +%s) - $(stat -c %Y "$OUT/worker.log") ))
+        if [ "$stale" -gt 780 ]; then
+          log "worker wedged (log stale ${stale}s); killing pid $WPID"
+          kill -9 $WPID 2>/dev/null
+          sleep 5
+          break
+        fi
+      done
+      wait $WPID 2>/dev/null
+      if grep -q "worker finished" "$OUT/worker.log"; then break; fi
+      sleep 10
+    done
+    echo done > "$OUT/worker_rc" ) &
+  log "supervised worker launched"
 fi
 
 sweep_bg() {  # $1 run-dir  $2 tag  $3 n-checkpoints
