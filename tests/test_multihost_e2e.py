@@ -129,7 +129,11 @@ def test_two_process_train_matches_single_process(tmp_path):
     # reduction) cannot see.
     g_multi = _metric(dirs[0], "grad_norm")
     g_single = _metric(single_dir, "grad_norm")
-    np.testing.assert_allclose(g_multi[1], g_single[1], rtol=5e-4,
+    # rtol: the cross-layout spread of the step-1 global grad norm is
+    # box-state dependent — measured rel 1.2e-3 on a loaded 1-core host
+    # (r5) vs ~1e-5 when authored; the bugs this guards (wrong psum
+    # weighting/membership: a factor-2 class error) land at rel >= 1e-1.
+    np.testing.assert_allclose(g_multi[1], g_single[1], rtol=5e-3,
                                err_msg="grad_norm iteration 1")
 
 
@@ -178,11 +182,19 @@ def test_two_process_zero1_checkpoint_gather(tmp_path):
     s_leaves = jax.tree.leaves(single)
     assert len(m_leaves) == len(s_leaves) and len(m_leaves) > 0
     # Tolerances from measured behavior: after 2 training iterations the
-    # cross-process vs in-process psum noise amplifies to ~1e-5 absolute
-    # (same chaos as the loss-stream contract above); atol covers
-    # near-zero elements where a pure-relative bound is meaningless.
-    # A wrong/missing gather is orders of magnitude off, not 1e-5.
+    # cross-process vs in-process psum noise amplifies chaotically and
+    # is box-state dependent (measured ~1e-5 absolute when authored;
+    # per-element rel up to 9e-3 on a loaded 1-core host in r5); atol
+    # covers near-zero elements where a pure-relative bound is
+    # meaningless.  A wrong/MISSING gather is not a tolerance question:
+    # host 0 would checkpoint its own shard's values (or zeros) for the
+    # other host's positions — factor-1 errors on half the elements —
+    # which the per-leaf RELATIVE-NORM check catches regardless of the
+    # per-element chaos margin.
     for m, s in zip(m_leaves, s_leaves):
-        np.testing.assert_allclose(
-            np.asarray(m, np.float64), np.asarray(s, np.float64),
-            rtol=2e-3, atol=5e-5)
+        m64 = np.asarray(m, np.float64)
+        s64 = np.asarray(s, np.float64)
+        np.testing.assert_allclose(m64, s64, rtol=2e-2, atol=3e-4)
+        denom = np.linalg.norm(s64)
+        if denom > 1e-6:
+            assert np.linalg.norm(m64 - s64) / denom < 2e-2
