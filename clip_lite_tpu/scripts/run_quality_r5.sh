@@ -42,15 +42,19 @@ if [ ! -f "$OUT/worker_started" ]; then
   touch "$OUT/worker_started"
   ( for attempt in 1 2 3 4 5 6 7 8; do
       log "worker attempt $attempt"
-      timeout 21000 python -m clip_lite_tpu.scripts.campaign_worker \
+      # setsid: own process group, so the wedge-kill below reaps python
+      # itself, not just a wrapper (killing only the wrapper orphans the
+      # worker, which then fights its successor for the TPU client —
+      # observed at r5 campaign attempt 1/2 hand-off).
+      setsid python -m clip_lite_tpu.scripts.campaign_worker \
           >> "$OUT/worker.log" 2>&1 &
       WPID=$!
       while kill -0 $WPID 2>/dev/null; do
         sleep 60
         stale=$(( $(date +%s) - $(stat -c %Y "$OUT/worker.log") ))
         if [ "$stale" -gt 780 ]; then
-          log "worker wedged (log stale ${stale}s); killing pid $WPID"
-          kill -9 $WPID 2>/dev/null
+          log "worker wedged (log stale ${stale}s); killing group $WPID"
+          kill -9 -- -$WPID 2>/dev/null || kill -9 $WPID 2>/dev/null
           sleep 5
           break
         fi
