@@ -225,11 +225,15 @@ def main() -> None:
         with open("QUALITY_r05_seed0_heavy.json", "w") as f:
             json.dump({"final": final_out}, f, indent=1)
 
+    # SSL before cluster: the SSL leg rides the device cache
+    # (compute-bound, ~25 min); the cluster leg is host-loader bound on
+    # this box — run the reliable stage first when the round clock is
+    # the constraint.
     ok = s0() and True
     s1()
     s2()
-    cluster_leg()
     ssl_leg()
+    cluster_leg()
     heavy()
     log(f"worker finished (s0 ok={ok})")
 
