@@ -89,12 +89,10 @@ def main(out_path="QUALITY_r05.json"):
         }
 
     if clusters:
-        out["legs"]["clusters"] = {
-            "checkpoints": clusters.get("checkpoints", {}),
-            "note": "seed-0 run resumed at 7500 into the clustered "
-                    "hard-negative phase (reference train.py:151-163); "
-                    "equal 10k total budget vs the seed-0 baseline",
-        }
+        out["legs"]["clusters"] = dict(clusters)
+        out["legs"]["clusters"].setdefault(
+            "note", "seed-0 run resumed at 7500 into the clustered "
+                    "hard-negative phase (reference train.py:151-163)")
     if ssl:
         out["legs"]["visual_ssl"] = {
             "checkpoints": ssl.get("checkpoints", {}),
